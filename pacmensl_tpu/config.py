@@ -1,0 +1,39 @@
+"""Global configuration for pacmensl_tpu.
+
+The reference library (pacmensl) is double-precision throughout (PETSc
+``PetscReal`` = f64).  On TPU, float64 is software-emulated and slow, so the
+framework is dtype-parametric: every solver object takes a ``dtype`` and the
+global default can be steered with the ``PACMENSL_TPU_X64`` environment
+variable (default: enabled, matching the reference numerics).
+
+This module must be imported before any JAX arrays are created, because
+``jax_enable_x64`` has to be set at import time.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+_X64 = os.environ.get("PACMENSL_TPU_X64", "1") not in ("0", "false", "False")
+if _X64:
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402  (after x64 flag)
+
+#: Default floating point dtype for probability vectors and operators.
+DEFAULT_DTYPE = jnp.float64 if _X64 else jnp.float32
+
+#: Default integer dtype for state coordinates.
+STATE_DTYPE = jnp.int32
+
+#: Default integer dtype for linearized state keys (mixed-radix indices).
+KEY_DTYPE = jnp.int64 if _X64 else jnp.int32
+
+
+def default_dtype():
+    return DEFAULT_DTYPE
+
+
+def x64_enabled() -> bool:
+    return _X64

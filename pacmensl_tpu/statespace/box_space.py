@@ -1,0 +1,195 @@
+"""Dense bounding-box state space (the TPU-native backend).
+
+Re-design of the reference ``StateSetConstrained``
+(``src/StateSet/StateSetConstrained.cpp:132-221``) for TPU: instead of an
+explicit distributed list of states plus a Zoltan distributed hash table, the
+state space is the dense bounding box of the constraint set with a boolean
+**validity mask** = (constraints satisfied) AND (reachable from the initial
+states).
+
+* The reference's distributed frontier BFS becomes a vectorized mask
+  dilation on device: ``mask |= shift(mask, s_r); mask &= constraint_ok``
+  iterated to a fixed point (`expand`).  One XLA while-loop replaces the
+  whole Zoltan DD probe/update/find machinery because position in the box
+  *is* the state's identity — no hash table needed.
+* ``State2Index`` (reference ``StateSetBase.cpp:309-343``) becomes mixed-
+  radix linearization into the box (`state2index`).
+* Expansion embeds the old box in the new one with a zero pad — the
+  ``ExpandVec`` scatter (``src/PetscWrap/PetscWrap.cpp:26-56``) becomes a
+  static pad.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import DEFAULT_DTYPE
+from ..sys.errors import StateSpaceError
+from ..sys import indexing
+from ..ops.stencil import shift_nd, coord_grid, box_shape_from_bounds
+from .constraints import ConstraintSet
+
+
+@partial(jax.jit, static_argnames=("shifts", "max_iters"))
+def _bfs_closure(seed_mask: jnp.ndarray, ok_mask: jnp.ndarray,
+                 shifts: Tuple[Tuple[int, ...], ...],
+                 max_iters: int) -> jnp.ndarray:
+    """Reachability closure of ``seed_mask`` under the reaction shifts,
+    restricted to ``ok_mask`` (vectorized frontier BFS; the device analogue
+    of StateSetConstrained::Expand's frontier loop)."""
+
+    def dilate(mask):
+        out = mask
+        for s in shifts:
+            out = out | shift_nd(mask, s)
+        return out & ok_mask
+
+    def body(carry):
+        mask, _, it = carry
+        new = dilate(mask)
+        changed = jnp.any(new != mask)
+        return new, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iters)
+
+    mask0 = seed_mask & ok_mask
+    mask, _, _ = lax.while_loop(cond, body, (mask0, jnp.bool_(True), 0))
+    return mask
+
+
+class BoxStateSpace:
+    """Constraint-shaped state space on a dense bounding box."""
+
+    def __init__(self,
+                 stoichiometry: np.ndarray,
+                 constraints: ConstraintSet,
+                 init_states,
+                 track_reachability: bool = True):
+        self.stoich = np.atleast_2d(np.asarray(stoichiometry, dtype=np.int64))
+        self.constraints = constraints
+        self.init_states = np.atleast_2d(
+            np.asarray(init_states, dtype=np.int64))
+        if self.init_states.shape[1] != self.num_species:
+            raise StateSpaceError(
+                f"init states have {self.init_states.shape[1]} species, "
+                f"stoichiometry has {self.num_species}")
+        self.track_reachability = track_reachability
+        self._build()
+
+    # ------------------------------------------------------------ basics
+    @property
+    def num_species(self) -> int:
+        return self.stoich.shape[1]
+
+    @property
+    def num_reactions(self) -> int:
+        return self.stoich.shape[0]
+
+    @property
+    def num_constraints(self) -> int:
+        return self.constraints.num_constraints
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self._shape
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self._shape))
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        """Validity mask over the box (True = state belongs to the FSP set)."""
+        return self._mask
+
+    @property
+    def num_states(self) -> int:
+        """Number of valid states (reference GetNumGlobalStates)."""
+        return self._num_states
+
+    @property
+    def bounds(self) -> np.ndarray:
+        return self.constraints.bounds
+
+    # ------------------------------------------------------------- build
+    def _build(self):
+        box_bounds = self.constraints.derive_box_bounds(
+            self.num_species, self.init_states)
+        self._box_bounds = box_bounds
+        self._shape = box_shape_from_bounds(box_bounds)
+
+        coords = coord_grid(self._shape)
+        ok = self.constraints.all_satisfied(coords).reshape(self._shape)
+
+        init_ok = np.array(self.constraints.all_satisfied(self.init_states))
+        if not init_ok.all():
+            raise StateSpaceError(
+                "initial states violate the FSP constraints: "
+                f"{self.init_states[~init_ok].tolist()}")
+
+        if self.track_reachability:
+            seed = jnp.zeros(self._shape, dtype=bool)
+            flat_idx = indexing.sub2ind(box_bounds, self.init_states)
+            if (flat_idx < 0).any():
+                raise StateSpaceError("initial states outside the box")
+            seed = seed.reshape(-1).at[jnp.asarray(flat_idx)].set(True)
+            seed = seed.reshape(self._shape)
+            shifts = tuple(tuple(int(v) for v in row) for row in self.stoich)
+            # Diameter bound: BFS can traverse at most the full box extent
+            # in every dimension per unit shift.
+            max_iters = int(sum(self._shape)) + 1
+            self._mask = _bfs_closure(seed, ok, shifts, max_iters)
+        else:
+            self._mask = ok
+        self._num_states = int(jax.device_get(self._mask.sum()))
+
+    # ------------------------------------------------------- expansion ---
+    def set_bounds(self, new_bounds) -> None:
+        """Grow constraint bounds and rebuild box+mask (reference
+        SetShapeBounds + Expand).  Returns nothing; use :meth:`embed_old`
+        to scatter an old solution into the new layout."""
+        self.constraints = self.constraints.with_bounds(new_bounds)
+        old_shape = self._shape
+        self._build()
+        if any(n < o for n, o in zip(self._shape, old_shape)):
+            raise StateSpaceError("state space must not shrink on expansion")
+
+    def embed_old(self, p_old: jnp.ndarray,
+                  old_shape: Tuple[int, ...]) -> jnp.ndarray:
+        """Zero-pad an old box-shaped array into the current (larger) box —
+        the ``ExpandVec`` analogue (PetscWrap.cpp:26-56)."""
+        pad = [(0, n - o, 0) for n, o in zip(self._shape, old_shape)]
+        return lax.pad(p_old.reshape(old_shape),
+                       jnp.zeros((), p_old.dtype), pad)
+
+    # ---------------------------------------------------------- queries ---
+    def states(self) -> np.ndarray:
+        """Enumerate valid states [num_states, S] (host, box order)."""
+        mask = np.asarray(jax.device_get(self._mask))
+        return np.argwhere(mask).astype(np.int64)
+
+    def state2index(self, states) -> np.ndarray:
+        """Map states to their flat box index; -1 for states outside the
+        box or invalid under the mask (reference State2Index semantics:
+        every enumerated member state must round-trip)."""
+        states = np.atleast_2d(np.asarray(states, dtype=np.int64))
+        keys = indexing.sub2ind(self._box_bounds, states)
+        mask_flat = np.asarray(jax.device_get(self._mask)).reshape(-1)
+        valid = keys >= 0
+        out = np.where(valid, keys, -1)
+        inside = out[valid]
+        out[valid] = np.where(mask_flat[inside], inside, -1)
+        return out
+
+    def extract_valid(self, p_box: jnp.ndarray) -> np.ndarray:
+        """Gather p at valid states, in :meth:`states` order (host)."""
+        p = np.asarray(jax.device_get(p_box)).reshape(-1)
+        mask = np.asarray(jax.device_get(self._mask)).reshape(-1)
+        return p[mask]

@@ -1,0 +1,117 @@
+"""FSP shape constraints.
+
+Equivalent of the reference's constraint machinery in
+``StateSetConstrained`` (``src/StateSet/StateSetConstrained.h:35-68``): the
+truncated state space is ``{x : f_i(x) <= b_i for all i}`` where ``f`` is a
+user-supplied vectorized function returning integer scores and ``b`` are
+integer bounds.  The default constraint is coordinate-wise
+(``f_i(x) = x_i``; reference ``StateSetConstrained.cpp:92-99``).
+
+Constraint functions here are jnp-traceable and batched:
+``fn(states[n, S]) -> [n, n_constraints]`` — they trace into both the
+device-side BFS (box backend) and the sink-weight computation of the
+operators, so constraint checking costs no extra memory traffic.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..sys.errors import StateSpaceError
+
+
+class ConstraintSet:
+    """Bundle of (constraint function, RHS bounds, expansion factors)."""
+
+    def __init__(self,
+                 fn: Optional[Callable],
+                 bounds,
+                 expansion_factors=None,
+                 num_species: Optional[int] = None):
+        self.fn = fn
+        self.bounds = np.asarray(bounds, dtype=np.int64).reshape(-1)
+        if expansion_factors is None:
+            expansion_factors = np.full(self.bounds.shape, 0.25)
+        self.expansion_factors = np.asarray(
+            expansion_factors, dtype=np.float64).reshape(-1)
+        if self.expansion_factors.shape != self.bounds.shape:
+            raise StateSpaceError(
+                "expansion_factors and bounds must have equal length "
+                f"({self.expansion_factors.shape} vs {self.bounds.shape})")
+        self.num_species = num_species
+        if fn is None and num_species is not None and \
+                len(self.bounds) != num_species:
+            raise StateSpaceError(
+                "default (coordinate-wise) constraints need one bound per "
+                f"species: {len(self.bounds)} bounds, {num_species} species")
+
+    @property
+    def num_constraints(self) -> int:
+        return self.bounds.shape[0]
+
+    def values(self, states) -> jnp.ndarray:
+        """Constraint scores f(x): [n, n_constraints] (jnp-traceable)."""
+        states = jnp.asarray(states)
+        if self.fn is None:
+            return states  # coordinate-wise default
+        vals = jnp.asarray(self.fn(states))
+        return vals.reshape(states.shape[0], self.num_constraints)
+
+    def satisfied(self, states) -> jnp.ndarray:
+        """Per-constraint satisfaction bitmap [n, n_constraints] (bool).
+
+        Reference ``StateSetConstrained::CheckConstraints``
+        (StateSetConstrained.cpp:63-82).
+        """
+        b = jnp.asarray(self.bounds)
+        return self.values(states) <= b[None, :]
+
+    def all_satisfied(self, states) -> jnp.ndarray:
+        return jnp.all(self.satisfied(states), axis=1)
+
+    def expanded_bounds(self, to_expand) -> np.ndarray:
+        """Grow the flagged bounds by their expansion factors.
+
+        Uses the reference's exact growth formula
+        ``b <- round(b*(1+f) + 0.5)`` (FspSolverMultiSinks.cpp:120-121).
+        """
+        to_expand = np.asarray(to_expand, dtype=bool).reshape(-1)
+        new_bounds = self.bounds.copy()
+        grow = np.round(self.bounds * (self.expansion_factors + 1.0) + 0.5)
+        new_bounds[to_expand] = grow[to_expand].astype(np.int64)
+        return new_bounds
+
+    def with_bounds(self, bounds) -> "ConstraintSet":
+        return ConstraintSet(self.fn, bounds, self.expansion_factors,
+                             self.num_species)
+
+    def derive_box_bounds(self, num_species: int, init_states,
+                          cap: int = 1 << 22) -> np.ndarray:
+        """Per-species bounding box [b_0..b_{S-1}] of the constraint set.
+
+        For default constraints the box is exactly the bounds.  For custom
+        constraint functions, finds for each species the largest coordinate
+        v such that v * e_i satisfies every constraint (binary search;
+        assumes constraint scores are non-decreasing in each coordinate,
+        which holds for every bundled/reference model).  The box always
+        covers the initial states.
+        """
+        if self.fn is None:
+            box = self.bounds.copy()
+        else:
+            box = np.zeros(num_species, dtype=np.int64)
+            for i in range(num_species):
+                lo, hi = 0, cap
+                while lo < hi:          # largest v with constraints satisfied
+                    mid = (lo + hi + 1) // 2
+                    x = np.zeros((1, num_species), dtype=np.int64)
+                    x[0, i] = mid
+                    if bool(np.asarray(self.all_satisfied(x))[0]):
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                box[i] = lo
+        init_states = np.atleast_2d(np.asarray(init_states, dtype=np.int64))
+        return np.maximum(box, init_states.max(axis=0))

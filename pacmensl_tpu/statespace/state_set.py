@@ -1,0 +1,198 @@
+"""General compressed state set (ELL backend).
+
+Functional equivalent of the reference ``StateSetBase`` /
+``StateSetConstrained`` (``src/StateSet/StateSetBase.cpp``,
+``StateSetConstrained.cpp``): an explicit, insertion-ordered list of states
+with
+
+* ``add_states``    — deduplicating insert (reference ``AddStates``,
+  StateSetBase.cpp:188-258),
+* ``state2index``   — batch state->global-index lookup returning -1 for
+  absent states (reference ``State2Index``, StateSetBase.cpp:309-343),
+* ``expand``        — frontier BFS closure under the reaction shifts,
+  filtered by constraints (reference ``Expand``,
+  StateSetConstrained.cpp:132-221).
+
+The reference implements the state->index map as a Zoltan distributed hash
+table with rendezvous hashing.  Here the map is a sorted mixed-radix key
+array + binary search (optionally accelerated by the native C++ hash module
+``pacmensl_tpu.native.fastset``): lookups happen only at assembly time, never
+in the integrator hot loop, so host-side data structures are the right tool
+(`SURVEY.md` §7 core representation choices).
+
+This backend exists for exact set-parity with the reference (BFS-reachable
+states only) and for constraint shapes too sparse for the dense-box backend;
+the box backend is preferred on TPU whenever the fill ratio allows.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..sys.errors import StateSpaceError
+from ..sys import indexing
+from .constraints import ConstraintSet
+
+# Status codes (reference StateSetBase active/inactive bookkeeping)
+ACTIVE = 1
+INACTIVE = -1
+
+
+class StateSet:
+    """Insertion-ordered deduplicated set of integer states."""
+
+    def __init__(self,
+                 stoichiometry: np.ndarray,
+                 constraints: ConstraintSet,
+                 init_states=None,
+                 use_native: bool = True):
+        self.stoich = np.atleast_2d(np.asarray(stoichiometry, dtype=np.int64))
+        self.constraints = constraints
+        self.states = np.zeros((0, self.num_species), dtype=np.int64)
+        self.status = np.zeros((0,), dtype=np.int8)
+        self._use_native = use_native
+        self._refresh_key_space()
+        self._keys = np.zeros((0,), dtype=np.int64)       # insertion order
+        self._sorted_keys = self._keys
+        self._sorted_pos = np.zeros((0,), dtype=np.int64)
+        if init_states is not None:
+            self.add_states(init_states)
+
+    # ------------------------------------------------------------ basics
+    @property
+    def num_species(self) -> int:
+        return self.stoich.shape[1]
+
+    @property
+    def num_reactions(self) -> int:
+        return self.stoich.shape[0]
+
+    @property
+    def num_states(self) -> int:
+        return self.states.shape[0]
+
+    @property
+    def num_constraints(self) -> int:
+        return self.constraints.num_constraints
+
+    # --------------------------------------------------------- key space
+    def _refresh_key_space(self):
+        """(Re)derive the mixed-radix key bounds from the constraint box.
+
+        Key bounds must cover every state that can ever be probed (members
+        and their +/- stoichiometry neighbours), so pad by the stoichiometry
+        range.
+        """
+        seed = self.states if self.states.size else \
+            np.zeros((1, self.num_species), dtype=np.int64)
+        box = self.constraints.derive_box_bounds(self.num_species, seed)
+        pad = np.abs(self.stoich).max(axis=0) if self.stoich.size else 0
+        box = box + pad
+        # int64 overflow guard
+        prod = 1.0
+        for b in box:
+            prod *= float(b + 1)
+        if prod >= 2.0 ** 62:
+            raise StateSpaceError(
+                "state key space exceeds int64; this constraint shape needs "
+                "a wider key type (box bounds: %r)" % (box,))
+        self._key_bounds = box
+
+    def _keys_of(self, states) -> np.ndarray:
+        return indexing.sub2ind(self._key_bounds, states)
+
+    def _reindex(self):
+        self._keys = self._keys_of(self.states)
+        order = np.argsort(self._keys, kind="stable")
+        self._sorted_keys = self._keys[order]
+        self._sorted_pos = order
+
+    # ------------------------------------------------------------ insert
+    def add_states(self, new_states) -> int:
+        """Insert states (dedup against members and within the batch);
+        returns the number actually added.  Invalid (constraint-violating
+        or negative) states are rejected, mirroring the reference's BFS
+        candidate filtering."""
+        new_states = np.atleast_2d(np.asarray(new_states, dtype=np.int64))
+        if new_states.shape[1] != self.num_species:
+            raise StateSpaceError(
+                f"states have {new_states.shape[1]} species, expected "
+                f"{self.num_species}")
+        ok = np.array(self.constraints.all_satisfied(new_states))
+        ok &= (new_states >= 0).all(axis=1)
+        new_states = new_states[ok]
+        if new_states.size == 0:
+            return 0
+
+        keys = self._keys_of(new_states)
+        # dedup within batch (keep first occurrence)
+        _, first = np.unique(keys, return_index=True)
+        first.sort()
+        new_states, keys = new_states[first], keys[first]
+        # dedup against members
+        if self._sorted_keys.size:
+            pos = np.searchsorted(self._sorted_keys, keys)
+            pos = np.clip(pos, 0, self._sorted_keys.size - 1)
+            exists = self._sorted_keys[pos] == keys
+            new_states = new_states[~exists]
+        if new_states.size == 0:
+            return 0
+
+        self.states = np.concatenate([self.states, new_states], axis=0)
+        self.status = np.concatenate(
+            [self.status, np.full(new_states.shape[0], ACTIVE, np.int8)])
+        self._reindex()
+        return new_states.shape[0]
+
+    # ------------------------------------------------------------ lookup
+    def state2index(self, states) -> np.ndarray:
+        """Global index of each state, or -1 if absent (reference
+        State2Index)."""
+        states = np.atleast_2d(np.asarray(states, dtype=np.int64))
+        keys = self._keys_of(states)
+        out = np.full(keys.shape, -1, dtype=np.int64)
+        if self._sorted_keys.size == 0:
+            return out
+        valid = keys >= 0
+        pos = np.searchsorted(self._sorted_keys, keys[valid])
+        pos = np.clip(pos, 0, self._sorted_keys.size - 1)
+        hit = self._sorted_keys[pos] == keys[valid]
+        res = np.where(hit, self._sorted_pos[pos], -1)
+        out[valid] = res
+        return out
+
+    # ------------------------------------------------------------ expand
+    def expand(self, max_rounds: int = 1_000_000) -> int:
+        """Frontier BFS closure: explore x + s_r from every unexplored
+        state, filter by constraints, insert, repeat until no frontier
+        remains (reference StateSetConstrained::Expand).  Returns the number
+        of states added."""
+        # Constraint bounds may have grown since the last build: refresh the
+        # key space and reactivate previously frozen states (reference
+        # reactivates -1 states, StateSetConstrained.cpp:137-152).
+        self._refresh_key_space()
+        self._reindex()
+        self.status[:] = ACTIVE
+
+        frontier = self.states
+        added_total = 0
+        for _ in range(max_rounds):
+            if frontier.shape[0] == 0:
+                break
+            # all reachable candidates from the frontier
+            cands = (frontier[:, None, :] +
+                     self.stoich[None, :, :]).reshape(-1, self.num_species)
+            n_before = self.num_states
+            self.add_states(cands)
+            added = self.num_states - n_before
+            added_total += added
+            frontier = self.states[n_before:]
+        return added_total
+
+    def set_bounds(self, new_bounds) -> None:
+        self.constraints = self.constraints.with_bounds(new_bounds)
+
+    def copy_states(self) -> np.ndarray:
+        """Reference CopyStatesOnProc."""
+        return self.states.copy()
