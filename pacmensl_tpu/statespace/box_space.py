@@ -176,16 +176,24 @@ class BoxStateSpace:
         return np.argwhere(mask).astype(np.int64)
 
     def state2index(self, states) -> np.ndarray:
-        """Map states to their flat box index; -1 for states outside the
-        box or invalid under the mask (reference State2Index semantics:
-        every enumerated member state must round-trip)."""
+        """Map states to their flat (C-order) box index; -1 for states
+        outside the box or invalid under the mask (reference State2Index
+        semantics: every enumerated member state must round-trip).
+
+        NOTE: the flat index uses row-major (C) order to match
+        ``jnp.reshape(-1)`` / ``np.argwhere`` conventions — unlike the
+        mixed-radix *keys* of :mod:`..sys.indexing`, which keep the
+        reference's first-axis-fastest layout.
+        """
         states = np.atleast_2d(np.asarray(states, dtype=np.int64))
-        keys = indexing.sub2ind(self._box_bounds, states)
+        shape = np.asarray(self._shape, dtype=np.int64)
+        strides = np.concatenate(
+            [np.cumprod(shape[::-1])[::-1][1:], [1]])
+        inside = ((states >= 0) & (states < shape[None, :])).all(axis=1)
+        keys = states @ strides
         mask_flat = np.asarray(jax.device_get(self._mask)).reshape(-1)
-        valid = keys >= 0
-        out = np.where(valid, keys, -1)
-        inside = out[valid]
-        out[valid] = np.where(mask_flat[inside], inside, -1)
+        out = np.full(keys.shape, -1, dtype=np.int64)
+        out[inside] = np.where(mask_flat[keys[inside]], keys[inside], -1)
         return out
 
     def extract_valid(self, p_box: jnp.ndarray) -> np.ndarray:
