@@ -1,0 +1,68 @@
+"""Integrator layer: common contracts.
+
+Mirror of the reference ``OdeSolverBase`` (``src/OdeSolver/OdeSolverBase.h``):
+an integrator advances ``dy/dt = A(t) y`` from t0 toward t_final, calling an
+optional FSP stop-check after every accepted step, and reports one of the
+status codes 0 (reached t_final) / 1 (FSP tolerance violated — caller must
+expand the state space) / -1 (fatal).
+
+TPU-first re-design: each backend compiles its **entire adaptive time loop**
+into one XLA program (``lax.while_loop``) — step-size control, error
+estimation, the stop-check, and the step-halving interpolation retry all run
+on device with no host round-trips.  The host only sees the final
+(y, t, status).  Dynamic dimensions (Krylov basis size, BDF order) are
+carried as traced integers over padded static buffers.
+
+Solver types mirror the reference enum ``ODESolverType {KRYLOV, CVODE,
+PETSC, EPIC}`` (OdeSolverBase.h:39): KRYLOV -> adaptive Krylov expm;
+CVODE -> adaptive BDF + matrix-free GMRES; PETSC -> adaptive explicit
+Runge-Kutta (Dormand-Prince); EPIC has no backend in the reference (falls
+through) and maps to KRYLOV here.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..ops.vecops import FspVector
+
+#: matvec(t, y: FspVector) -> FspVector
+MatVec = Callable[[Any, FspVector], FspVector]
+#: stop_check(t, y) -> error_excess (scalar; > 0 means FSP stop)
+StopCheck = Callable[[Any, FspVector], jnp.ndarray]
+
+
+class ODESolverType(enum.Enum):
+    KRYLOV = "krylov"
+    CVODE = "cvode"          # BDF + matrix-free GMRES
+    PETSC = "petsc"          # adaptive explicit RK (Dormand-Prince 5(4))
+    EPIC = "epic"            # alias of KRYLOV (reference: no backend)
+
+    @classmethod
+    def from_string(cls, s: str) -> "ODESolverType":
+        s = s.strip().lower()
+        for v in cls:
+            if v.value == s or v.name.lower() == s:
+                return v
+        raise ValueError(f"unknown ODE solver type {s!r}")
+
+
+class SolveStats(NamedTuple):
+    n_steps: jnp.ndarray      # accepted steps
+    n_rejected: jnp.ndarray
+    n_matvecs: jnp.ndarray
+
+
+class SolveResult(NamedTuple):
+    y: FspVector
+    t: jnp.ndarray
+    status: jnp.ndarray       # 0 ok / 1 fsp stop / -1 failure
+    stats: SolveStats
+
+
+# Status codes (reference OdeSolverBase.h:114)
+STATUS_OK = 0
+STATUS_FSP_STOP = 1
+STATUS_FAILURE = -1
