@@ -1,0 +1,427 @@
+"""FspSolverMultiSinks: the transient FSP driver.
+
+TPU-native rebuild of the reference driver
+(``src/Fsp/FspSolverMultiSinks.{h,cpp}``): owns the constrained state space,
+the CME operator, and an ODE backend, and runs the FSP
+solve -> check-sinks -> expand -> scatter -> resume loop
+(``Advance_``, FspSolverMultiSinks.cpp:62-224).
+
+Key mappings (reference -> here):
+  * ``CheckFspTolerance_`` (:576-611) -> an on-device per-sink stop-check
+    traced into the integrator; expansion flags come back as the running
+    max of per-sink excesses (SolveResult.viol_excess).
+  * state-space expansion + Zoltan repartition -> bound growth + mask/BFS
+    rebuild (box backend) or host frontier BFS (ELL backend).
+  * ``ExpandVec`` solution scatter (PetscWrap.cpp:26-56) -> zero-pad
+    embedding (box) / index scatter (ELL).
+  * PETSc event logging -> :class:`~pacmensl_tpu.sys.events.EventLog`
+    with the same phase names.
+
+The ODE backend re-jits per expansion epoch (array shapes change), exactly
+mirroring the reference's matrix destroy + regenerate per expansion.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE
+from ..models.model import Model
+from ..sys.errors import SetupError, IntegratorError, StateSpaceError
+from ..sys.events import (EventLog, StepTrace, EVT_SETUP, EVT_PARTITION,
+                          EVT_MATGEN, EVT_ODESOLVE, EVT_SCATTER, EVT_TOTAL)
+from ..sys.options import Options
+from ..statespace.constraints import ConstraintSet
+from ..statespace.box_space import BoxStateSpace
+from ..statespace.state_set import StateSet
+from ..statespace.partitioner import PartitioningType, PartitioningApproach
+from ..ops.box_operator import BoxOperator
+from ..ops.ell_operator import EllOperator
+from ..ops.vecops import FspVector
+from ..solvers.base import ODESolverType, STATUS_OK, STATUS_FSP_STOP
+from ..solvers.krylov import KrylovSolver
+from ..solvers.rk import RKSolver
+from ..solvers.bdf import BdfSolver
+from .distribution import DiscreteDistribution
+
+
+class FspSolverMultiSinks:
+    """Transient CME solver with multi-sink adaptive FSP truncation."""
+
+    def __init__(self,
+                 backend: str = "auto",
+                 partitioning: PartitioningType = PartitioningType.BLOCK,
+                 odes_type: Union[ODESolverType, str] = ODESolverType.KRYLOV,
+                 dtype=None):
+        self.backend = backend
+        self.partitioning = partitioning
+        self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
+                          else ODESolverType.from_string(odes_type))
+        self.dtype = dtype or DEFAULT_DTYPE
+
+        self.model: Optional[Model] = None
+        self.constraints: Optional[ConstraintSet] = None
+        self._init_states: Optional[np.ndarray] = None
+        self._init_probs: Optional[np.ndarray] = None
+        self.ode_rtol = 1.0e-6
+        self.ode_atol = 1.0e-14
+        self.krylov_dim_range = (25, 60)
+        self.krylov_abs_tol = 1.0e-14
+        self.verbosity = 0
+        self.log_events = True
+        self.events = EventLog(enabled=True)
+        self.step_trace = StepTrace()
+
+        self._space = None          # BoxStateSpace or StateSet
+        self._operator = None
+        self._y: Optional[FspVector] = None
+        self._t_now = 0.0
+        self._set_up = False
+        self.sinks_: Optional[np.ndarray] = None
+
+    # ---------------------------------------------------------- settings
+    def set_model(self, model) -> "FspSolverMultiSinks":
+        self.model = model
+        return self
+
+    def set_constraints(self, fn, bounds, expansion_factors=None
+                        ) -> "FspSolverMultiSinks":
+        """Custom constraint function + bounds (reference
+        SetConstraintFunctions + SetInitialBounds)."""
+        ns = self.model.num_species if self.model is not None else None
+        self.constraints = ConstraintSet(fn, bounds, expansion_factors, ns)
+        self._set_up = False
+        return self
+
+    def set_constraint_functions(self, fn) -> "FspSolverMultiSinks":
+        """Set only the constraint function, keeping bounds if present
+        (reference SetConstraintFunctions; call before set_initial_bounds
+        when the custom constraint count differs from the species count)."""
+        if self.constraints is not None:
+            self.constraints = ConstraintSet(
+                fn, self.constraints.bounds,
+                self.constraints.expansion_factors)
+        else:
+            self._pending_constraint_fn = fn
+        self._set_up = False
+        return self
+
+    def set_initial_bounds(self, bounds) -> "FspSolverMultiSinks":
+        """Default (coordinate-wise) constraints with the given bounds."""
+        fn = getattr(self, "_pending_constraint_fn", None)
+        if self.constraints is not None and self.constraints.fn is not None:
+            fn = self.constraints.fn
+        if fn is not None:
+            factors = (self.constraints.expansion_factors
+                       if self.constraints is not None and
+                       len(self.constraints.expansion_factors) == len(bounds)
+                       else None)
+            self.constraints = ConstraintSet(fn, bounds, factors)
+        else:
+            ns = self.model.num_species if self.model is not None else None
+            self.constraints = ConstraintSet(None, bounds, None, ns)
+        self._set_up = False
+        return self
+
+    def set_expansion_factors(self, factors) -> "FspSolverMultiSinks":
+        if self.constraints is None:
+            raise SetupError("set bounds before expansion factors")
+        self.constraints = ConstraintSet(
+            self.constraints.fn, self.constraints.bounds, factors,
+            self.constraints.num_species)
+        return self
+
+    def set_initial_distribution(self, x0, p0=None) -> "FspSolverMultiSinks":
+        """Initial states + probabilities, or a DiscreteDistribution to
+        restart from (reference SetInitialDistribution overloads)."""
+        if isinstance(x0, DiscreteDistribution):
+            self._init_states = np.atleast_2d(x0.states)
+            self._init_probs = np.asarray(x0.p, dtype=np.float64)
+            # restart adopts the snapshot's FSP bounds so its states fit
+            if x0.bounds is not None and self.constraints is not None \
+                    and len(x0.bounds) == len(self.constraints.bounds):
+                self.constraints = self.constraints.with_bounds(
+                    np.maximum(self.constraints.bounds, x0.bounds))
+        else:
+            self._init_states = np.atleast_2d(np.asarray(x0, dtype=np.int64))
+            if p0 is None:
+                raise SetupError("p0 required with explicit states")
+            self._init_probs = np.asarray(p0, dtype=np.float64).reshape(-1)
+        if self._init_probs.shape[0] != self._init_states.shape[0]:
+            raise SetupError("x0/p0 length mismatch")
+        self._set_up = False
+        return self
+
+    def set_odes_type(self, odes_type) -> "FspSolverMultiSinks":
+        self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
+                          else ODESolverType.from_string(str(odes_type)))
+        return self
+
+    def set_ode_tolerances(self, rtol, atol) -> "FspSolverMultiSinks":
+        self.ode_rtol, self.ode_atol = float(rtol), float(atol)
+        return self
+
+    def set_krylov_dim_range(self, m_min, m_max) -> "FspSolverMultiSinks":
+        self.krylov_dim_range = (int(m_min), int(m_max))
+        return self
+
+    def set_load_balancing_method(self, ptype) -> "FspSolverMultiSinks":
+        self.partitioning = (ptype if isinstance(ptype, PartitioningType)
+                             else PartitioningType.from_string(str(ptype)))
+        return self
+
+    def set_verbosity(self, level: int) -> "FspSolverMultiSinks":
+        self.verbosity = int(level)
+        return self
+
+    def set_from_options(self, opts: Optional[Options] = None
+                         ) -> "FspSolverMultiSinks":
+        """PETSc-style flag parsing (reference SetFromOptions,
+        FspSolverMultiSinks.cpp:523-574)."""
+        opts = opts or Options.from_argv()
+        if opts.has("fsp_partitioning_type"):
+            self.set_load_balancing_method(opts.get("fsp_partitioning_type"))
+        if opts.has("fsp_verbosity"):
+            self.verbosity = opts.get_int("fsp_verbosity")
+        if opts.has("fsp_log_events"):
+            self.log_events = opts.get_bool("fsp_log_events")
+        if opts.has("fsp_odes_type"):
+            self.set_odes_type(opts.get("fsp_odes_type"))
+        if opts.has("fsp_backend"):
+            self.backend = opts.get("fsp_backend")
+        if opts.has("ode_rtol") or opts.has("ode_atol"):
+            self.set_ode_tolerances(opts.get_float("ode_rtol", self.ode_rtol),
+                                    opts.get_float("ode_atol", self.ode_atol))
+        return self
+
+    # -------------------------------------------------------------- setup
+    def _choose_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        # Dense-box is the TPU-native default; fall back to the compressed
+        # backend when the constraint set fills the bounding box too
+        # sparsely (wasted stencil work outweighs gather cost).
+        box_bounds = self.constraints.derive_box_bounds(
+            self.model.num_species, self._init_states)
+        box_size = float(np.prod(np.asarray(box_bounds, np.float64) + 1))
+        if box_size > 2e8:
+            return "ell"
+        return "box"
+
+    def set_up(self) -> "FspSolverMultiSinks":
+        if self.model is None:
+            raise SetupError("SetUp called before model was set")
+        if self.constraints is None:
+            raise SetupError("SetUp called before bounds were set")
+        if self._init_states is None:
+            raise SetupError("SetUp called before initial distribution")
+        if self._init_states.shape[1] != self.model.num_species:
+            raise SetupError("initial states do not match model species")
+
+        with self.events.timed(EVT_SETUP):
+            self._backend_used = self._choose_backend()
+            with self.events.timed(EVT_PARTITION):
+                self._build_space()
+            with self.events.timed(EVT_MATGEN):
+                self._build_operator()
+            self._y = self._initial_vector()
+        self._set_up = True
+        return self
+
+    def _build_space(self):
+        if self._backend_used == "box":
+            self._space = BoxStateSpace(self.model.stoichiometry,
+                                        self.constraints, self._init_states)
+        else:
+            self._space = StateSet(self.model.stoichiometry,
+                                   self.constraints,
+                                   init_states=self._init_states)
+            self._space.expand()
+
+    def _build_operator(self):
+        if self._backend_used == "box":
+            self._operator = BoxOperator(self.model, self._space,
+                                         dtype=self.dtype)
+        else:
+            self._operator = EllOperator(self.model, self._space,
+                                         dtype=self.dtype)
+
+    def _initial_vector(self) -> FspVector:
+        idx = self._space.state2index(self._init_states)
+        if (idx < 0).any():
+            raise StateSpaceError(
+                "initial states outside the FSP state space")
+        n_c = self.constraints.num_constraints
+        if self._backend_used == "box":
+            p = np.zeros(self._space.size, dtype=np.float64)
+            p[idx] = self._init_probs
+            p = jnp.asarray(p, self.dtype).reshape(self._space.shape)
+        else:
+            p = np.zeros(self._operator.n_pad, dtype=np.float64)
+            p[idx] = self._init_probs
+            p = jnp.asarray(p, self.dtype)
+        return FspVector(p=p, sinks=jnp.zeros((n_c,), self.dtype))
+
+    # -------------------------------------------------------------- solve
+    def _make_ode_solver(self, fsp_tol: float, t_final: float):
+        n_sinks = self.constraints.num_constraints
+
+        if fsp_tol > 0:
+            def stop_check(t, y):
+                # reference CheckFspTolerance_ (FspSolverMultiSinks.cpp:
+                # 576-611): sink_i exceeds its share of the tolerance
+                # budget pro-rated by t/t_final.
+                return y.sinks * n_sinks - fsp_tol * (t / t_final)
+        else:
+            stop_check = None
+
+        if self.odes_type in (ODESolverType.KRYLOV, ODESolverType.EPIC):
+            return KrylovSolver(self._operator.action,
+                                abs_tol=self.krylov_abs_tol,
+                                m_min=self.krylov_dim_range[0],
+                                m_max=self.krylov_dim_range[1],
+                                rhs_cost=self._operator.local_mv_flops(),
+                                stop_check=stop_check, dtype=self.dtype)
+        if self.odes_type == ODESolverType.CVODE:
+            return BdfSolver(self._operator.action,
+                             rtol=self.ode_rtol, atol=self.ode_atol,
+                             stop_check=stop_check, dtype=self.dtype)
+        if self.odes_type == ODESolverType.PETSC:
+            return RKSolver(self._operator.action,
+                            rtol=self.ode_rtol, atol=self.ode_atol,
+                            stop_check=stop_check, dtype=self.dtype)
+        raise SetupError(f"unsupported ODE solver type {self.odes_type}")
+
+    def _expand(self, to_expand: np.ndarray):
+        """Grow flagged bounds, rebuild space+operator, scatter solution
+        (reference Advance_ expansion block, :114-211)."""
+        new_bounds = self.constraints.expanded_bounds(to_expand)
+        if self.verbosity:
+            print(f"[fsp] t = {self._t_now:.4g}: expanding to bounds "
+                  f"{new_bounds.tolist()}")
+        p_old, sinks_old = self._y.p, self._y.sinks
+        with self.events.timed(EVT_PARTITION):
+            if self._backend_used == "box":
+                old_shape = self._space.shape
+                self._space.set_bounds(new_bounds)
+                self.constraints = self._space.constraints
+            else:
+                states_old = self._space.copy_states()
+                self._space.set_bounds(new_bounds)
+                self.constraints = self._space.constraints
+                self._space.expand()
+        with self.events.timed(EVT_MATGEN):
+            self._build_operator()
+        with self.events.timed(EVT_SCATTER):
+            if self._backend_used == "box":
+                p_new = self._space.embed_old(p_old, old_shape)
+            else:
+                idx = self._space.state2index(states_old)
+                p_host = np.zeros(self._operator.n_pad, np.float64)
+                old = np.asarray(jax.device_get(p_old))
+                p_host[idx] = old[:states_old.shape[0]]
+                p_new = jnp.asarray(p_host, self.dtype)
+            self._y = FspVector(p=p_new, sinks=sinks_old)
+        if self.verbosity:
+            print(f"[fsp] new state count: {self.num_states}")
+
+    def _advance(self, t_final: float, fsp_tol: float) -> None:
+        """The solve/check/expand loop (reference Advance_)."""
+        with self.events.timed(EVT_TOTAL):
+            status = STATUS_FSP_STOP
+            while status == STATUS_FSP_STOP:
+                solver = self._make_ode_solver(fsp_tol, t_final)
+                with self.events.timed(EVT_ODESOLVE):
+                    res = solver.solve(self._y, self._t_now, t_final)
+                    status = int(res.status)
+                if status not in (STATUS_OK, STATUS_FSP_STOP):
+                    raise IntegratorError(
+                        f"ODE solver failed (status {status}) at "
+                        f"t = {float(res.t)}")
+                self._y = res.y
+                self._t_now = float(res.t)
+                self.sinks_ = np.asarray(jax.device_get(res.y.sinks))
+                if self.log_events:
+                    self.step_trace.record(self._t_now, self.num_states)
+                if status == STATUS_FSP_STOP:
+                    viol = np.asarray(jax.device_get(res.viol_excess))
+                    to_expand = viol >= 0.0
+                    if not to_expand.any():
+                        to_expand[np.argmax(viol)] = True
+                    self._expand(to_expand)
+
+    def solve(self, t_final: float, fsp_tol: float = 1.0e-4,
+              t_init: float = 0.0) -> DiscreteDistribution:
+        """Reference Solve (FspSolverMultiSinks.cpp:619-643)."""
+        if not self._set_up:
+            self.set_up()
+        self._y = self._initial_vector()
+        self._t_now = float(t_init)
+        self._advance(float(t_final), float(fsp_tol))
+        return self._make_distribution()
+
+    def solve_tspan(self, tspan: Sequence[float], fsp_tol: float = 1.0e-4,
+                    t_init: float = 0.0) -> List[DiscreteDistribution]:
+        """Reference SolveTspan: outputs at each time point, advancing
+        segment by segment."""
+        if not self._set_up:
+            self.set_up()
+        self._y = self._initial_vector()
+        self._t_now = float(t_init)
+        out = []
+        for t in tspan:
+            self._advance(float(t), float(fsp_tol))
+            out.append(self._make_distribution())
+        return out
+
+    def clear_state(self) -> None:
+        self._set_up = False
+        self._space = None
+        self._operator = None
+        self._y = None
+
+    # ------------------------------------------------------------ output
+    @property
+    def num_states(self) -> int:
+        return self._space.num_states if self._space is not None else 0
+
+    def _make_distribution(self) -> DiscreteDistribution:
+        if self._backend_used == "box":
+            states = self._space.states()
+            p = self._space.extract_valid(self._y.p)
+        else:
+            states = self._space.copy_states()
+            p = np.asarray(jax.device_get(self._y.p))[:states.shape[0]]
+        return DiscreteDistribution(
+            t=self._t_now, states=states, p=p,
+            bounds=self.constraints.bounds.copy(),
+            sinks=np.asarray(jax.device_get(self._y.sinks)))
+
+    def get_event_log(self) -> EventLog:
+        return self.events
+
+    def reduce_component_timing(self):
+        """Reference ReduceComponentTiming parity."""
+        return self.events.reduce()
+
+    # CamelCase aliases for users coming from the reference / pypacmensl
+    SetModel = set_model
+    SetInitialBounds = set_initial_bounds
+    SetConstraintFunctions = set_constraint_functions
+    SetExpansionFactors = set_expansion_factors
+    SetInitialDistribution = set_initial_distribution
+    SetOdesType = set_odes_type
+    SetOdeTolerances = set_ode_tolerances
+    SetKrylovDimRange = set_krylov_dim_range
+    SetLoadBalancingMethod = set_load_balancing_method
+    SetVerbosity = set_verbosity
+    SetFromOptions = set_from_options
+    SetUp = set_up
+    Solve = solve
+    SolveTspan = solve_tspan
+    ClearState = clear_state
+    ReduceComponentTiming = reduce_component_timing

@@ -30,7 +30,11 @@ from ..ops.vecops import FspVector
 
 #: matvec(t, y: FspVector) -> FspVector
 MatVec = Callable[[Any, FspVector], FspVector]
-#: stop_check(t, y) -> error_excess (scalar; > 0 means FSP stop)
+#: stop_check(t, y) -> per-constraint error excess [n_constraints];
+#: any entry > 0 means FSP stop.  The solver records the elementwise
+#: running max over every evaluation (SolveResult.viol_excess), which is
+#: how the reference accumulates its per-sink expansion flags
+#: (``to_expand_``, FspSolverMultiSinks.cpp:576-611).
 StopCheck = Callable[[Any, FspVector], jnp.ndarray]
 
 
@@ -60,6 +64,7 @@ class SolveResult(NamedTuple):
     t: jnp.ndarray
     status: jnp.ndarray       # 0 ok / 1 fsp stop / -1 failure
     stats: SolveStats
+    viol_excess: jnp.ndarray  # [n_c] running max of stop-check excesses
 
 
 # Status codes (reference OdeSolverBase.h:114)

@@ -103,10 +103,12 @@ class BdfSolver:
     def _solve(self, y0, t0, t_final):
         dtype = self.dtype
 
+        n_c = y0.sinks.shape[0]
+
         def fsp_excess(t, y):
             if self.stop_check is None:
-                return jnp.asarray(-1.0, dtype)
-            return jnp.asarray(self.stop_check(t, y), dtype)
+                return jnp.full((n_c,), -1.0, dtype)
+            return jnp.asarray(self.stop_check(t, y), dtype).reshape(n_c)
 
         # ---- initial h (order-1 heuristic, as scipy BDF)
         f0 = self.matvec(t0, y0)
@@ -172,7 +174,7 @@ class BdfSolver:
 
         def step(carry):
             (D, t, h, order, n_eq, status, n_steps, n_rej, n_mv, stop,
-             n_consec) = carry
+             n_consec, viol) = carry
             # truncate the final step; D encodes the step size, so rescale
             # (as scipy BDF does when hitting t_bound)
             h_clamped = jnp.minimum(h, t_final - t)
@@ -249,7 +251,9 @@ class BdfSolver:
             n_eq_out = jnp.where(n_eq_new >= order + 1, 0, n_eq_new)
 
             # ---------- FSP stop-check (CvodeFsp semantics: revert + stop)
-            excess = jnp.where(accept, fsp_excess(t_new, y_new), -1.0)
+            excess_v = fsp_excess(t_new, y_new)
+            viol = jnp.where(accept, jnp.maximum(viol, excess_v), viol)
+            excess = jnp.where(accept, jnp.max(excess_v), -1.0)
             violated = accept & (excess > 0.0)
             stop = jnp.where(violated, 1, stop)
             advance = accept & ~violated
@@ -276,11 +280,11 @@ class BdfSolver:
                                (status == STATUS_OK),
                                STATUS_FAILURE, status)
             return (D_out, t_out, h_new, order_out, n_eq_out, status,
-                    n_steps, n_rej, n_mv, stop, n_consec)
+                    n_steps, n_rej, n_mv, stop, n_consec, viol)
 
         def cond(carry):
             (D, t, h, order, n_eq, status, n_steps, n_rej, n_mv, stop,
-             n_consec) = carry
+             n_consec, viol) = carry
             return (t < t_final) & (status == STATUS_OK) & (stop == 0) & \
                 (n_steps + n_rej < self.max_steps)
 
@@ -289,13 +293,15 @@ class BdfSolver:
                   jnp.asarray(STATUS_OK, jnp.int32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                   jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
-                  jnp.asarray(0, jnp.int32))
+                  jnp.asarray(0, jnp.int32),
+                  jnp.full((n_c,), -jnp.inf, dtype))
         (D, t, h, order, n_eq, status, n_steps, n_rej, n_mv, stop,
-         _n_consec) = lax.while_loop(cond, step, carry0)
+         _n_consec, viol) = lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
         # exhausted the step budget without reaching t_final: fatal
         status = jnp.where((status == STATUS_OK) & (t < t_final),
                            STATUS_FAILURE, status)
         return SolveResult(y=vo.basis_get(D, 0), t=t, status=status,
-                           stats=SolveStats(n_steps, n_rej, n_mv))
+                           stats=SolveStats(n_steps, n_rej, n_mv),
+                           viol_excess=viol)

@@ -128,14 +128,17 @@ class KrylovSolver:
         dtype = self.dtype
         M1 = self.m_max + 1
 
+        n_c = y0.sinks.shape[0]
+
         def fsp_excess(t, y):
             if self.stop_check is None:
-                return jnp.asarray(-1.0, dtype)
-            return jnp.asarray(self.stop_check(t, y), dtype)
+                return jnp.full((n_c,), -1.0, dtype)
+            return jnp.asarray(self.stop_check(t, y),
+                               dtype).reshape(n_c)
 
         def step(carry):
             (y, t_now, t_step_next, m_next, first_init,
-             status, n_steps, n_rej, n_mv, stop) = carry
+             status, n_steps, n_rej, n_mv, stop, viol) = carry
 
             m = jnp.clip(m_next, self.m_min, self.m_max)
             beta = vo.norm2(y)
@@ -258,13 +261,14 @@ class KrylovSolver:
 
             # --- FSP stop-check + halving interpolation (GetDky analogue)
             excess0 = fsp_excess(t_new, y_new)
+            viol = jnp.maximum(viol, excess0)
 
             def hv_cond(c):
-                t_try, y_try, excess, nrej, stop = c
-                return (excess > 0.0) & (nrej < 10)
+                t_try, y_try, excess, nrej, stop, viol = c
+                return (jnp.max(excess) > 0.0) & (nrej < 10)
 
             def hv_body(c):
-                t_try, y_try, excess, nrej, stop = c
+                t_try, y_try, excess, nrej, stop, viol = c
                 nrej = nrej + 1
                 tau_try = jnp.where(nrej >= 10, 0.0,
                                     0.5 * (t_try - t_now))
@@ -272,19 +276,21 @@ class KrylovSolver:
                 F0h = jnp.where(idx < mx, beta * Fh[:M1, 0], 0.0)
                 y_try = vo.basis_lincomb(F0h, Vm)
                 t_try = t_now + tau_try
-                return (t_try, y_try, fsp_excess(t_try, y_try), nrej,
-                        jnp.int32(1))
+                excess = fsp_excess(t_try, y_try)
+                return (t_try, y_try, excess, nrej, jnp.int32(1),
+                        jnp.maximum(viol, excess))
 
-            t_new, y_new, _, _, stop2 = lax.while_loop(
+            t_new, y_new, _, _, stop2, viol = lax.while_loop(
                 hv_cond, hv_body,
-                (t_new, y_new, excess0, 0, jnp.int32(0)))
+                (t_new, y_new, excess0, 0, jnp.int32(0), viol))
             stop = jnp.maximum(stop, stop2)
 
             return (y_new, t_new, t_step_next3, m_next2, jnp.bool_(True),
-                    status, n_steps + 1, n_rej, n_mv, stop)
+                    status, n_steps + 1, n_rej, n_mv, stop, viol)
 
         def cond(carry):
-            (y, t_now, *_rest, status, n_steps, n_rej, n_mv, stop) = carry
+            (y, t_now, *_rest, status, n_steps, n_rej, n_mv, stop,
+             viol) = carry
             return (t_now < t_final) & (status == STATUS_OK) & \
                 (stop == 0) & (n_steps < self.max_steps)
 
@@ -292,12 +298,14 @@ class KrylovSolver:
                   jnp.asarray(self.m_min, jnp.int32), jnp.bool_(False),
                   jnp.asarray(STATUS_OK, jnp.int32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        (y, t, _, _, _, status, n_steps, n_rej, n_mv, stop) = \
+                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                  jnp.full((n_c,), -jnp.inf, dtype))
+        (y, t, _, _, _, status, n_steps, n_rej, n_mv, stop, viol) = \
             lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
         status = jnp.where((status == STATUS_OK) & (t < t_final),
                            STATUS_FAILURE, status)
         return SolveResult(y=y, t=t, status=status,
-                           stats=SolveStats(n_steps, n_rej, n_mv))
+                           stats=SolveStats(n_steps, n_rej, n_mv),
+                           viol_excess=viol)

@@ -126,16 +126,18 @@ class RKSolver:
     # ------------------------------------------------------------------
     def _solve(self, y0, t0, t_final):
         dtype = self.dtype
+        n_c = y0.sinks.shape[0]
 
         def fsp_excess(t, y):
             if self.stop_check is None:
-                return jnp.asarray(-1.0, dtype)
-            return jnp.asarray(self.stop_check(t, y), dtype)
+                return jnp.full((n_c,), -1.0, dtype)
+            return jnp.asarray(self.stop_check(t, y), dtype).reshape(n_c)
 
         h_init = self._initial_step(t0, y0, t_final)
 
         def step(carry):
-            (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve) = carry
+            (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve,
+             viol) = carry
             h = jnp.minimum(h, t_final - t)
             y5, err, mv = self._rk_step(t, y, h)
             n_mv = n_mv + mv
@@ -151,7 +153,9 @@ class RKSolver:
             status = jnp.where(finite, status, STATUS_FAILURE)
 
             # FSP check on accepted steps; violation => halve h, retry
-            excess = jnp.where(accept, fsp_excess(t + h, y5), -1.0)
+            excess_v = fsp_excess(t + h, y5)
+            viol = jnp.where(accept, jnp.maximum(viol, excess_v), viol)
+            excess = jnp.where(accept, jnp.max(excess_v), -1.0)
             violated = accept & (excess > 0.0) & (n_halve < 10)
             give_up = accept & (excess > 0.0) & (n_halve >= 10)
             accept2 = accept & (excess <= 0.0)
@@ -169,22 +173,24 @@ class RKSolver:
             n_steps = n_steps + jnp.where(accept2, 1, 0)
             n_rej = n_rej + jnp.where(accept2 | give_up, 0, 1)
             return (y_out, t_out, h_out, status, n_steps, n_rej, n_mv,
-                    stop, n_halve)
+                    stop, n_halve, viol)
 
         def cond(carry):
-            (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve) = carry
+            (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve,
+             viol) = carry
             return (t < t_final) & (status == STATUS_OK) & (stop == 0) & \
                 (n_steps + n_rej < self.max_steps)
 
         carry0 = (y0, t0, h_init, jnp.asarray(STATUS_OK, jnp.int32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                   jnp.asarray(2, jnp.int32), jnp.asarray(0, jnp.int32),
-                  jnp.asarray(0, jnp.int32))
-        (y, t, _, status, n_steps, n_rej, n_mv, stop, _) = \
+                  jnp.asarray(0, jnp.int32), jnp.full((n_c,), -jnp.inf, dtype))
+        (y, t, _, status, n_steps, n_rej, n_mv, stop, _, viol) = \
             lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
         status = jnp.where((status == STATUS_OK) & (t < t_final),
                            STATUS_FAILURE, status)
         return SolveResult(y=y, t=t, status=status,
-                           stats=SolveStats(n_steps, n_rej, n_mv))
+                           stats=SolveStats(n_steps, n_rej, n_mv),
+                           viol_excess=viol)

@@ -19,6 +19,10 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: expansion epochs re-jit per shape; cache
+# makes suite re-runs and cross-test shape reuse fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pacmensl_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pacmensl_tpu  # noqa: E402,F401  (sets x64 before array creation)
 
