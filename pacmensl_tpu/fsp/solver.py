@@ -56,8 +56,10 @@ class FspSolverMultiSinks:
                  backend: str = "auto",
                  partitioning: PartitioningType = PartitioningType.BLOCK,
                  odes_type: Union[ODESolverType, str] = ODESolverType.KRYLOV,
+                 mesh=None,
                  dtype=None):
         self.backend = backend
+        self.mesh = mesh
         self.partitioning = partitioning
         self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
                           else ODESolverType.from_string(odes_type))
@@ -178,6 +180,13 @@ class FspSolverMultiSinks:
         self.verbosity = int(level)
         return self
 
+    def set_mesh(self, mesh) -> "FspSolverMultiSinks":
+        """Shard the state axis over a 1-D device mesh (the TPU analogue
+        of running the reference on multiple MPI ranks)."""
+        self.mesh = mesh
+        self._set_up = False
+        return self
+
     def set_from_options(self, opts: Optional[Options] = None
                          ) -> "FspSolverMultiSinks":
         """PETSc-style flag parsing (reference SetFromOptions,
@@ -234,8 +243,17 @@ class FspSolverMultiSinks:
 
     def _build_space(self):
         if self._backend_used == "box":
+            pad_quanta = None
+            if self.mesh is not None:
+                # make the (largest) shard axis divisible by the mesh size
+                box_bounds = self.constraints.derive_box_bounds(
+                    self.model.num_species, self._init_states)
+                axis = int(np.argmax(box_bounds))
+                pad_quanta = np.ones(self.model.num_species, np.int64)
+                pad_quanta[axis] = self.mesh.devices.size
             self._space = BoxStateSpace(self.model.stoichiometry,
-                                        self.constraints, self._init_states)
+                                        self.constraints, self._init_states,
+                                        pad_quanta=pad_quanta)
         else:
             self._space = StateSet(self.model.stoichiometry,
                                    self.constraints,
@@ -264,7 +282,14 @@ class FspSolverMultiSinks:
             p = np.zeros(self._operator.n_pad, dtype=np.float64)
             p[idx] = self._init_probs
             p = jnp.asarray(p, self.dtype)
-        return FspVector(p=p, sinks=jnp.zeros((n_c,), self.dtype))
+        y = FspVector(p=p, sinks=jnp.zeros((n_c,), self.dtype))
+        return self._place(y)
+
+    def _place(self, y: FspVector) -> FspVector:
+        if self.mesh is None:
+            return y
+        from ..parallel.mesh import shard_fsp_vector
+        return shard_fsp_vector(y, self.mesh)
 
     # -------------------------------------------------------------- solve
     def _make_ode_solver(self, fsp_tol: float, t_final: float):
@@ -325,7 +350,7 @@ class FspSolverMultiSinks:
                 old = np.asarray(jax.device_get(p_old))
                 p_host[idx] = old[:states_old.shape[0]]
                 p_new = jnp.asarray(p_host, self.dtype)
-            self._y = FspVector(p=p_new, sinks=sinks_old)
+            self._y = self._place(FspVector(p=p_new, sinks=sinks_old))
         if self.verbosity:
             print(f"[fsp] new state count: {self.num_states}")
 

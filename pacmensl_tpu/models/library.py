@@ -27,6 +27,17 @@ import jax.numpy as jnp
 
 from .model import Model, SensModel
 
+def _f(x):
+    """Cast states to a float dtype for propensity arithmetic, keeping the
+    caller's compute dtype (the operators pass float32/float64 coordinate
+    grids; hard-coding float64 would drag TPU kernels onto the emulated-f64
+    path)."""
+    import jax.numpy as _jnp
+    if _jnp.issubdtype(x.dtype, _jnp.floating):
+        return x
+    return x.astype(_jnp.float64)
+
+
 
 @dataclass
 class BundledModel:
@@ -57,7 +68,7 @@ def toggle() -> BundledModel:
     stoich = np.array([[1, 0], [1, 0], [-1, 0], [0, 1], [0, 1], [0, -1]])
 
     def prop(x, r):
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if r == 0:
             return jnp.full(x.shape[:1], kx0)
         if r == 1:
@@ -97,7 +108,7 @@ def repressilator() -> BundledModel:
     ])
 
     def prop(x, r):
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if r == 0:
             return k1 / (1.0 + ka * jnp.power(xf[:, 1], ket))
         if r == 1:
@@ -159,7 +170,7 @@ def hog1p_5d() -> BundledModel:
 
     def prop(x, r):
         g = x[:, 0]
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if r == 0:
             return k12 * (g == 0) + k23 * (g == 1) + k34 * (g == 2)
         if r == 1:
@@ -216,7 +227,7 @@ def hog1p_3d() -> BundledModel:
 
     def prop(x, r):
         g = x[:, 0]
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if r == 0:
             return k12 * (g == 0) + k23 * (g == 1) + k34 * (g == 2)
         if r == 1:
@@ -279,7 +290,7 @@ def transcription_regulation_6d() -> BundledModel:
     ])
 
     def prop(x, r):
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if r == 0:
             return c0 * xf[:, 5]
         if r == 1:
@@ -378,7 +389,7 @@ def birth_death(birth: float = 1.0, death: float = 0.1) -> BundledModel:
     def prop(x, r):
         if r == 0:
             return jnp.full(x.shape[:1], birth)
-        return death * x[:, 0].astype(jnp.float64)
+        return death * _f(x)[:, 0]
 
     return BundledModel(
         model=Model(stoich, prop),
@@ -402,7 +413,7 @@ def telegraph(k01: float = 1.0e-2, k10: float = 1.0e-1,
     ])
 
     def prop(x, r):
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if r == 0:
             return k01 * xf[:, 0]
         if r == 1:
@@ -414,7 +425,7 @@ def telegraph(k01: float = 1.0e-2, k10: float = 1.0e-1,
         raise ValueError(r)
 
     def d_prop(x, j, r):
-        xf = x.astype(jnp.float64)
+        xf = _f(x)
         if j == 0 and r == 0:
             return xf[:, 0]
         if j == 1 and r == 1:

@@ -78,8 +78,12 @@ class BoxOperator:
 
     # ---------------------------------------------------------- assembly
     def _propensity_field(self, r: int) -> jnp.ndarray:
-        """a_r over the box, masked to valid states."""
-        coords = coord_grid(self.shape)
+        """a_r over the box, masked to valid states.
+
+        Coordinates are handed to the propensity in the operator's compute
+        dtype so model arithmetic stays on the fast path (f32 on TPU).
+        """
+        coords = coord_grid(self.shape).astype(self.dtype)
         a = jnp.asarray(self.model.propensity(coords, r), self.dtype)
         return a.reshape(self.shape) * self.mask_f
 
@@ -115,6 +119,17 @@ class BoxOperator:
 
     def __call__(self, t, y):
         return self.action(t, y)
+
+    def diagonal(self, t=0.0) -> jnp.ndarray:
+        """diag(A(t)) = -sum_r c_r(t) a_r(x), masked (used by the
+        stationary solver's rank-one completion)."""
+        c = self.model.coefficients(t, self.dtype)
+        out = jnp.zeros(self.shape, self.dtype)
+        for k, r in enumerate(self.enable_reactions):
+            a_r = (self._prop_fields[k] if self._prop_fields is not None
+                   else self._propensity_field(r))
+            out = out - c[r] * a_r
+        return out
 
     # ------------------------------------------------------------- misc
     @property

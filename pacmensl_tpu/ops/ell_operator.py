@@ -67,6 +67,8 @@ class EllOperator:
         sink_bits = np.zeros((R, n_pad), dtype=np.uint32)
 
         states_j = jnp.asarray(states)
+        # jit per reaction: eager evaluation would pay per-op dispatch
+        prop_jit = jax.jit(self.model.propensity, static_argnums=1)
         for k, r in enumerate(self.enable_reactions):
             # Off-diagonal: who flows INTO row x (source x - s_r), exactly
             # the reference's column construction (FspMatrixBase.cpp:132-145)
@@ -75,12 +77,11 @@ class EllOperator:
             ok = idx >= 0
             src_idx[k, :n] = np.where(ok, idx, 0)
             a_src = np.asarray(jax.device_get(
-                self.model.propensity(jnp.asarray(src), r)),
-                dtype=np.float64)
+                prop_jit(jnp.asarray(src), r)), dtype=np.float64)
             off_val[k, :n] = np.where(ok, a_src, 0.0)
             # Diagonal: full outflow rate a_r(x)
             diag_val[k, :n] = np.asarray(jax.device_get(
-                self.model.propensity(states_j, r)), dtype=np.float64)
+                prop_jit(states_j, r)), dtype=np.float64)
             # Sink bits: constraints violated by the target x + s_r
             tgt = states + stoich[r][None, :]
             sat = np.asarray(jax.device_get(
@@ -118,6 +119,12 @@ class EllOperator:
 
     def __call__(self, t, y):
         return self.action(t, y)
+
+    def diagonal(self, t=0.0) -> jnp.ndarray:
+        """diag(A(t)) = -sum_r c_r(t) a_r(x) over the padded vector."""
+        c_full = self.model.coefficients(t, self.dtype)
+        c = jnp.asarray([c_full[r] for r in self.enable_reactions])
+        return -(c @ self.diag_val)
 
     # ------------------------------------------------------------- misc
     @property

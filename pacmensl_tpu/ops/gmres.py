@@ -100,12 +100,19 @@ def gmres(apply_A: Callable,
             arnoldi_cond, arnoldi_body,
             (0, V, H, cs, sn, g, beta, nmv))
 
-        # masked upper-triangular solve H[:k,:k] yk = g[:k]
+        # masked upper-triangular solve H[:k,:k] yk = g[:k] by explicit
+        # back-substitution (TPU's TriangularSolve lacks f64; m is small)
         k = j
         diag_fix = jnp.where(jnp.arange(m) < k, 0.0, 1.0)
         Hk = H[:m, :] + jnp.diag(diag_fix)
         gk = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
-        yk = jax.scipy.linalg.solve_triangular(Hk, gk, lower=False)
+
+        def back_sub(i_rev, yk):
+            i = m - 1 - i_rev
+            resid = gk[i] - jnp.dot(Hk[i, :], yk)
+            return yk.at[i].set(resid / Hk[i, i])
+
+        yk = lax.fori_loop(0, m, back_sub, jnp.zeros((m,), dtype))
         coeffs = jnp.concatenate([yk, jnp.zeros((1,), dtype)])
         dx = vo.basis_lincomb(coeffs, V)
         x = vo.add(x, dx)

@@ -1,0 +1,173 @@
+"""SensFspSolverMultiSinks: forward-sensitivity FSP driver.
+
+Equivalent of the reference ``SensFspSolverMultiSinks``
+(``src/SensFsp/SensFspSolverMultiSinks.{h,cpp}``): the same
+solve/check/expand loop as the transient driver, integrating probability
+*and* all parameter sensitivities, and expanding every vector with the
+same index map on growth (reference :333-422).
+
+Integration: the stacked (p, s_1..s_Np) system is linear, so any backend
+from :mod:`..solvers` integrates it; CVODE (BDF + matrix-free GMRES,
+simultaneous corrector — the reference uses CVODES CV_STAGGERED1, an
+approximation of the same correction that we don't need because the linear
+solve is exact) is the default for parity, KRYLOV works for
+time-invariant models.
+
+Sink check mirrors the reference's SensFsp variant
+(SensFspSolverMultiSinks.cpp:301-330): strict inequality, same pro-rated
+budget as the transient driver.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.model import SensModel
+from ..sys.errors import SetupError, StateSpaceError
+from ..sys.events import EVT_MATGEN, EVT_SCATTER
+from ..statespace.box_space import BoxStateSpace
+from ..ops.box_operator import BoxOperator
+from ..ops.ell_operator import EllOperator
+from ..ops.sens_operator import SensOperator, SensFspVector
+from ..ops.vecops import FspVector
+from ..solvers.base import ODESolverType
+from ..fsp.solver import FspSolverMultiSinks
+from .sens_distribution import SensDiscreteDistribution
+
+
+class SensFspSolverMultiSinks(FspSolverMultiSinks):
+    """Forward-sensitivity FSP solver (p plus dp/dtheta_j)."""
+
+    def __init__(self, backend: str = "auto",
+                 odes_type=ODESolverType.CVODE, **kw):
+        super().__init__(backend=backend, odes_type=odes_type, **kw)
+        self._init_sens: Optional[np.ndarray] = None
+
+    # ---------------------------------------------------------- settings
+    def set_model(self, model) -> "SensFspSolverMultiSinks":
+        if not isinstance(model, SensModel):
+            raise SetupError("SensFspSolverMultiSinks requires a SensModel")
+        self.model = model
+        return self
+
+    def set_initial_distribution(self, x0, p0=None, dp0=None
+                                 ) -> "SensFspSolverMultiSinks":
+        if isinstance(x0, SensDiscreteDistribution):
+            super().set_initial_distribution(x0)
+            self._init_sens = np.asarray(x0.dp, dtype=np.float64)
+            return self
+        super().set_initial_distribution(x0, p0)
+        n_par = self.model.num_parameters if self.model else 0
+        if dp0 is None:
+            dp0 = np.zeros((n_par, self._init_probs.shape[0]))
+        self._init_sens = np.atleast_2d(np.asarray(dp0, dtype=np.float64))
+        if self._init_sens.shape != (n_par, self._init_probs.shape[0]):
+            raise SetupError(
+                f"dp0 must be [n_parameters={n_par}, n_init_states]")
+        return self
+
+    # ------------------------------------------------------------- build
+    def _build_operator(self):
+        cls = BoxOperator if self._backend_used == "box" else EllOperator
+        self._operator = SensOperator(self.model, self._space, cls,
+                                      dtype=self.dtype)
+
+    def _initial_vector(self) -> SensFspVector:
+        idx = self._space.state2index(self._init_states)
+        if (idx < 0).any():
+            raise StateSpaceError("initial states outside the FSP space")
+        n_c = self.constraints.num_constraints
+        n_par = self.model.num_parameters
+        if self._backend_used == "box":
+            size, shape = self._space.size, self._space.shape
+        else:
+            size, shape = self._operator.base.n_pad, \
+                (self._operator.base.n_pad,)
+        p = np.zeros(size)
+        p[idx] = self._init_probs
+        s = np.zeros((n_par, size))
+        s[:, idx] = self._init_sens
+        return SensFspVector(
+            p=jnp.asarray(p, self.dtype).reshape(shape),
+            sinks=jnp.zeros((n_c,), self.dtype),
+            s=jnp.asarray(s, self.dtype).reshape((n_par,) + shape),
+            ssinks=jnp.zeros((n_par, n_c), self.dtype))
+
+    def _expand(self, to_expand: np.ndarray):
+        """Expand p and every sensitivity with the same map (reference
+        SensFspSolverMultiSinks.cpp:371-402)."""
+        new_bounds = self.constraints.expanded_bounds(to_expand)
+        if self.verbosity:
+            print(f"[sensfsp] t = {self._t_now:.4g}: expanding to "
+                  f"{new_bounds.tolist()}")
+        y = self._y
+        with self.events.timed(EVT_MATGEN):
+            if self._backend_used == "box":
+                old_shape = self._space.shape
+                self._space.set_bounds(new_bounds)
+                self.constraints = self._space.constraints
+                self._build_operator()
+                p_new = self._space.embed_old(y.p, old_shape)
+                s_new = jnp.stack([self._space.embed_old(y.s[j], old_shape)
+                                   for j in range(y.s.shape[0])])
+            else:
+                states_old = self._space.copy_states()
+                self._space.set_bounds(new_bounds)
+                self.constraints = self._space.constraints
+                self._space.expand()
+                self._build_operator()
+                idx = self._space.state2index(states_old)
+                n_old = states_old.shape[0]
+                n_pad = self._operator.base.n_pad
+                p_h = np.zeros(n_pad)
+                p_h[idx] = np.asarray(jax.device_get(y.p))[:n_old]
+                s_old = np.asarray(jax.device_get(y.s))[:, :n_old]
+                s_h = np.zeros((y.s.shape[0], n_pad))
+                s_h[:, idx] = s_old
+                p_new = jnp.asarray(p_h, self.dtype)
+                s_new = jnp.asarray(s_h, self.dtype)
+        with self.events.timed(EVT_SCATTER):
+            self._y = SensFspVector(p=p_new, sinks=y.sinks,
+                                    s=s_new, ssinks=y.ssinks)
+            if self.mesh is not None:
+                self._y = self._place(self._y)
+        if self.verbosity:
+            print(f"[sensfsp] new state count: {self.num_states}")
+
+    def _place(self, y):
+        if self.mesh is None or not isinstance(y, SensFspVector):
+            return y if self.mesh is None else super()._place(y)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import box_spec, STATE_AXIS
+        n = self.mesh.devices.size
+        if y.p.ndim == 1:
+            spec = P(STATE_AXIS) if y.p.shape[0] % n == 0 else P()
+        else:
+            spec = box_spec(y.p.shape, n)
+        sspec = P(*((None,) + tuple(spec)))
+        return SensFspVector(
+            p=jax.device_put(y.p, NamedSharding(self.mesh, spec)),
+            sinks=jax.device_put(y.sinks, NamedSharding(self.mesh, P())),
+            s=jax.device_put(y.s, NamedSharding(self.mesh, sspec)),
+            ssinks=jax.device_put(y.ssinks, NamedSharding(self.mesh, P())))
+
+    # ------------------------------------------------------------ output
+    def _make_distribution(self) -> SensDiscreteDistribution:
+        n_par = self.model.num_parameters
+        if self._backend_used == "box":
+            states = self._space.states()
+            p = self._space.extract_valid(self._y.p)
+            dp = np.stack([self._space.extract_valid(self._y.s[j])
+                           for j in range(n_par)]) if n_par else None
+        else:
+            states = self._space.copy_states()
+            n = states.shape[0]
+            p = np.asarray(jax.device_get(self._y.p))[:n]
+            dp = np.asarray(jax.device_get(self._y.s))[:, :n]
+        return SensDiscreteDistribution(
+            t=self._t_now, states=states, p=p, dp=dp,
+            bounds=self.constraints.bounds.copy(),
+            sinks=np.asarray(jax.device_get(self._y.sinks)))

@@ -202,10 +202,15 @@ class BdfSolver:
             y_new = vo.add(y_pred, d)
 
             err_norm = self._err_norm(vo.scale(errc_arr[order], d), y_pred)
+            # a non-finite rhs means the user matvec failed: propagate
+            # immediately (reference CvodeFsp propagates rhs error codes;
+            # GMRES would otherwise mask the NaN by returning x0 unchanged)
+            rhs_finite = vo.isfinite(rhs)
             finite = vo.isfinite(y_new) & jnp.isfinite(err_norm) & \
-                sol.converged
+                sol.converged & rhs_finite
             accept = (err_norm <= 1.0) & finite
-            status = jnp.where(vo.isfinite(y_new) & jnp.isfinite(err_norm),
+            status = jnp.where(vo.isfinite(y_new) & jnp.isfinite(err_norm)
+                               & rhs_finite,
                                status, STATUS_FAILURE)
 
             # ---------- rejected: shrink h, rescale D
@@ -277,6 +282,13 @@ class BdfSolver:
             n_rej = n_rej + jnp.where(accept, 0, 1)
             n_consec = jnp.where(accept, 0, n_consec + 1)
             status = jnp.where((n_consec >= MAX_CONSEC_REJ) &
+                               (status == STATUS_OK),
+                               STATUS_FAILURE, status)
+            # minimum-step safeguard (scipy BDF min_step): a rejection that
+            # drives h below float resolution of the time span is fatal
+            min_step = 10.0 * jnp.finfo(dtype).eps * \
+                jnp.maximum(jnp.abs(t_out), jnp.abs(t_final))
+            status = jnp.where((~accept) & (h_new < min_step) &
                                (status == STATUS_OK),
                                STATUS_FAILURE, status)
             return (D_out, t_out, h_new, order_out, n_eq_out, status,

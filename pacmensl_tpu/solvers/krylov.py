@@ -34,7 +34,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.linalg import expm
+from ..ops.expm import expm   # TPU-safe f64 expm (no LU)
 
 from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo

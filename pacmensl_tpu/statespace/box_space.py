@@ -71,7 +71,13 @@ class BoxStateSpace:
                  stoichiometry: np.ndarray,
                  constraints: ConstraintSet,
                  init_states,
-                 track_reachability: bool = True):
+                 track_reachability: bool = True,
+                 pad_quanta=None):
+        """``pad_quanta``: per-axis size quanta; each box axis is rounded
+        up to a multiple of its quantum.  Used to make the sharded axis
+        divisible by the mesh size and to align to TPU tile sizes; the
+        validity mask keeps padded states excluded, so padding never
+        changes results."""
         self.stoich = np.atleast_2d(np.asarray(stoichiometry, dtype=np.int64))
         self.constraints = constraints
         self.init_states = np.atleast_2d(
@@ -81,6 +87,9 @@ class BoxStateSpace:
                 f"init states have {self.init_states.shape[1]} species, "
                 f"stoichiometry has {self.num_species}")
         self.track_reachability = track_reachability
+        self.pad_quanta = (np.ones(self.num_species, dtype=np.int64)
+                           if pad_quanta is None
+                           else np.asarray(pad_quanta, dtype=np.int64))
         self._build()
 
     # ------------------------------------------------------------ basics
@@ -123,32 +132,47 @@ class BoxStateSpace:
         box_bounds = self.constraints.derive_box_bounds(
             self.num_species, self.init_states)
         self._box_bounds = box_bounds
-        self._shape = box_shape_from_bounds(box_bounds)
-
-        coords = coord_grid(self._shape)
-        ok = self.constraints.all_satisfied(coords).reshape(self._shape)
+        raw_shape = np.asarray(box_shape_from_bounds(box_bounds))
+        q = self.pad_quanta
+        self._shape = tuple(int(-(-s // qi) * qi)
+                            for s, qi in zip(raw_shape, q))
 
         init_ok = np.array(self.constraints.all_satisfied(self.init_states))
         if not init_ok.all():
             raise StateSpaceError(
                 "initial states violate the FSP constraints: "
                 f"{self.init_states[~init_ok].tolist()}")
+        if (self.init_states < 0).any() or \
+                (self.init_states > box_bounds[None, :]).any():
+            raise StateSpaceError("initial states outside the box")
 
-        if self.track_reachability:
-            seed = jnp.zeros(self._shape, dtype=bool)
-            flat_idx = indexing.sub2ind(box_bounds, self.init_states)
-            if (flat_idx < 0).any():
-                raise StateSpaceError("initial states outside the box")
-            seed = seed.reshape(-1).at[jnp.asarray(flat_idx)].set(True)
-            seed = seed.reshape(self._shape)
-            shifts = tuple(tuple(int(v) for v in row) for row in self.stoich)
-            # Diameter bound: BFS can traverse at most the full box extent
-            # in every dimension per unit shift.
-            max_iters = int(sum(self._shape)) + 1
-            self._mask = _bfs_closure(seed, ok, shifts, max_iters)
-        else:
-            self._mask = ok
-        self._num_states = int(jax.device_get(self._mask.sum()))
+        # One jitted program builds the whole mask (constraint check + BFS
+        # reachability closure + count): eager op-by-op construction would
+        # pay a dispatch/compile round-trip per op on TPU.
+        shape = self._shape
+        shifts = tuple(tuple(int(v) for v in row) for row in self.stoich)
+        flat_idx = np.ravel_multi_index(
+            tuple(self.init_states.T), shape)  # C-order, padded
+        track = self.track_reachability
+        constraints = self.constraints
+        # Diameter bound: BFS can traverse at most the full box extent
+        # in every dimension per unit shift.
+        max_iters = int(sum(shape)) + 1
+
+        @jax.jit
+        def build_mask():
+            coords = coord_grid(shape)
+            ok = jnp.all(constraints.satisfied(coords), axis=1
+                         ).reshape(shape)
+            if not track:
+                return ok, ok.sum()
+            seed = jnp.zeros(shape, dtype=bool).reshape(-1)
+            seed = seed.at[jnp.asarray(flat_idx)].set(True).reshape(shape)
+            mask = _bfs_closure(seed, ok, shifts, max_iters)
+            return mask, mask.sum()
+
+        self._mask, n = build_mask()
+        self._num_states = int(jax.device_get(n))
 
     # ------------------------------------------------------- expansion ---
     def set_bounds(self, new_bounds) -> None:

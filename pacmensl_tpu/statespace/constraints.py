@@ -17,13 +17,20 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..sys.errors import StateSpaceError
 
 
 class ConstraintSet:
-    """Bundle of (constraint function, RHS bounds, expansion factors)."""
+    """Bundle of (constraint function, RHS bounds, expansion factors).
+
+    Evaluations are routed through cached jitted callables: on accelerator
+    platforms where every eager op pays a dispatch/compile round-trip, host-side
+    constraint sweeps (bounding-box search, mask building, BFS candidate
+    filtering) would otherwise dominate assembly time.
+    """
 
     def __init__(self,
                  fn: Optional[Callable],
@@ -31,6 +38,9 @@ class ConstraintSet:
                  expansion_factors=None,
                  num_species: Optional[int] = None):
         self.fn = fn
+        self._values_jit = None
+        self._sat_jit = None
+        self._all_sat_jit = None
         self.bounds = np.asarray(bounds, dtype=np.int64).reshape(-1)
         if expansion_factors is None:
             expansion_factors = np.full(self.bounds.shape, 0.25)
@@ -51,13 +61,23 @@ class ConstraintSet:
     def num_constraints(self) -> int:
         return self.bounds.shape[0]
 
-    def values(self, states) -> jnp.ndarray:
-        """Constraint scores f(x): [n, n_constraints] (jnp-traceable)."""
-        states = jnp.asarray(states)
+    def _values_impl(self, states) -> jnp.ndarray:
         if self.fn is None:
             return states  # coordinate-wise default
         vals = jnp.asarray(self.fn(states))
         return vals.reshape(states.shape[0], self.num_constraints)
+
+    def values(self, states) -> jnp.ndarray:
+        """Constraint scores f(x): [n, n_constraints] (jnp-traceable)."""
+        if isinstance(states, jax.core.Tracer):
+            return self._values_impl(states)
+        if self._values_jit is None:
+            self._values_jit = jax.jit(self._values_impl)
+        return self._values_jit(jnp.asarray(states))
+
+    def _satisfied_impl(self, states) -> jnp.ndarray:
+        b = jnp.asarray(self.bounds)
+        return self._values_impl(states) <= b[None, :]
 
     def satisfied(self, states) -> jnp.ndarray:
         """Per-constraint satisfaction bitmap [n, n_constraints] (bool).
@@ -65,11 +85,19 @@ class ConstraintSet:
         Reference ``StateSetConstrained::CheckConstraints``
         (StateSetConstrained.cpp:63-82).
         """
-        b = jnp.asarray(self.bounds)
-        return self.values(states) <= b[None, :]
+        if isinstance(states, jax.core.Tracer):
+            return self._satisfied_impl(states)
+        if self._sat_jit is None:
+            self._sat_jit = jax.jit(self._satisfied_impl)
+        return self._sat_jit(jnp.asarray(states))
 
     def all_satisfied(self, states) -> jnp.ndarray:
-        return jnp.all(self.satisfied(states), axis=1)
+        if isinstance(states, jax.core.Tracer):
+            return jnp.all(self._satisfied_impl(states), axis=1)
+        if self._all_sat_jit is None:
+            self._all_sat_jit = jax.jit(
+                lambda s: jnp.all(self._satisfied_impl(s), axis=1))
+        return self._all_sat_jit(jnp.asarray(states))
 
     def expanded_bounds(self, to_expand) -> np.ndarray:
         """Grow the flagged bounds by their expansion factors.

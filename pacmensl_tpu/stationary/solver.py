@@ -1,0 +1,111 @@
+"""Stationary-distribution FSP solver.
+
+Rebuild of the reference's stationary stack
+(``src/StationaryFsp/``: ``StationaryMCSolver`` + ``StationaryFspSolver-
+MultiSinks``; excluded from the reference build but complete and tested,
+SURVEY.md §1 notes):
+
+* the singular stationary system ``A pi = 0`` is completed to the
+  nonsingular ``(A + (2/n) d q^T) pi = d`` (d = diag(A), q = ones) and
+  solved with matrix-free GMRES with nonzero initial guess, then
+  normalized (``StationaryMCSolver.cpp:29-31,58-89``);
+* outflow sinks of the stationary solution are evaluated; any sink above
+  the tolerance grows its constraint bound, the space expands, the old
+  solution scatters into the new layout as the next initial guess, and
+  the solve repeats (``StationaryFspSolverMultiSinks.cpp:125-199``).
+
+Time-varying models are rejected — stationarity requires a
+time-invariant generator (the reference likewise builds the stationary
+matrix with an empty tv list).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sys.errors import SetupError, IntegratorError
+from ..sys.events import EVT_ODESOLVE, EVT_TOTAL
+from ..ops.gmres import gmres
+from ..ops.vecops import FspVector
+from ..fsp.solver import FspSolverMultiSinks
+from ..fsp.distribution import DiscreteDistribution
+
+
+class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
+    """Stationary CME distribution with adaptive FSP truncation."""
+
+    def __init__(self, backend: str = "auto", gmres_tol: float = 1.0e-12,
+                 **kw):
+        super().__init__(backend=backend, **kw)
+        self.gmres_tol = float(gmres_tol)
+
+    def set_model(self, model) -> "StationaryFspSolverMultiSinks":
+        if model.tv_reactions:
+            raise SetupError(
+                "stationary FSP requires a time-invariant model")
+        return super().set_model(model)
+
+    # ------------------------------------------------------------- solve
+    def _stationary_solve(self, p_guess):
+        """One rank-one-completed GMRES solve, normalized."""
+        op = self._operator
+        diag = op.diagonal(0.0)
+        mask = getattr(op, "mask_f", None)
+        n_valid = float(self.num_states)
+
+        def modified(v):
+            # (A + (2/n) d q^T) v   (q = ones over valid states)
+            av = op.action(0.0, FspVector(
+                p=v, sinks=jnp.zeros((self.constraints.num_constraints,),
+                                     self.dtype))).p
+            alpha = jnp.sum(v) * 2.0 / n_valid
+            return av + alpha * diag
+
+        @jax.jit
+        def run(x0):
+            res = gmres(modified, diag, x0, tol=self.gmres_tol,
+                        atol=1e-300, dtype=self.dtype)
+            pi = res.x / jnp.sum(res.x)
+            sinks = op.action(0.0, FspVector(
+                p=pi, sinks=jnp.zeros((self.constraints.num_constraints,),
+                                      self.dtype))).sinks
+            return pi, sinks, res.converged, res.res_norm
+
+        return run(p_guess)
+
+    def solve(self, sfsp_tol: float = 1.0e-6, *_args,
+              **_kw) -> DiscreteDistribution:
+        """Reference StationaryFspSolverMultiSinks::Solve(sfsp_tol)."""
+        if not self._set_up:
+            self.set_up()
+        y = self._initial_vector()
+        p = y.p
+
+        with self.events.timed(EVT_TOTAL):
+            while True:
+                with self.events.timed(EVT_ODESOLVE):
+                    pi, sinks, converged, rnorm = self._stationary_solve(p)
+                if not bool(jax.device_get(converged)):
+                    raise IntegratorError(
+                        f"stationary GMRES stalled (residual "
+                        f"{float(rnorm):.2e})")
+                self.sinks_ = np.asarray(jax.device_get(sinks))
+                to_expand = self.sinks_ > sfsp_tol
+                if not to_expand.any():
+                    break
+                if self.verbosity:
+                    print(f"[stationary] sinks {self.sinks_} > {sfsp_tol}; "
+                          "expanding")
+                self._y = FspVector(p=pi, sinks=jnp.zeros_like(y.sinks))
+                self._expand(to_expand)
+                p = self._y.p
+            self._y = FspVector(p=pi, sinks=jnp.asarray(sinks))
+            self._t_now = float("inf")
+        d = self._make_distribution()
+        d.t = float("nan")      # stationary: no time point
+        return d
+
+    Solve = solve

@@ -1,0 +1,67 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded solves
+must agree exactly with single-device solves (the reference's strategy of
+re-running the same tests at several MPI rank counts, SURVEY.md §4)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.stats import poisson as poisson_law
+
+import pacmensl_tpu as pm
+from pacmensl_tpu.parallel.mesh import make_mesh, shard_fsp_vector, box_spec
+from pacmensl_tpu.ops.box_operator import BoxOperator
+from pacmensl_tpu.ops.vecops import FspVector
+from pacmensl_tpu.statespace.box_space import BoxStateSpace
+from pacmensl_tpu.statespace.constraints import ConstraintSet
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_matvec_matches_single():
+    """The sharded stencil matvec must equal the unsharded one bit-for-bit
+    in structure (same math, collective permutes for halos)."""
+    b = pm.models.toggle()
+    cs = ConstraintSet(None, [63, 31])
+    space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+    op = BoxOperator(b.model, space)
+    rng = np.random.default_rng(0)
+    p = rng.random(space.shape) * np.asarray(jax.device_get(op.mask_f))
+    y = FspVector(p=jnp.asarray(p), sinks=jnp.zeros(2))
+    d_single = jax.jit(op.action)(0.0, y)
+
+    mesh = make_mesh()
+    y_sh = shard_fsp_vector(y, mesh)
+    assert y_sh.p.sharding.spec == box_spec(space.shape, 8)
+    d_sh = jax.jit(op.action)(0.0, y_sh)
+    # different reduction orders across shards => tiny fp differences
+    np.testing.assert_allclose(np.asarray(jax.device_get(d_sh.p)),
+                               np.asarray(jax.device_get(d_single.p)),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(jax.device_get(d_sh.sinks)),
+                               np.asarray(jax.device_get(d_single.sinks)),
+                               rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.parametrize("backend", ["box", "ell"])
+def test_sharded_fsp_solve_matches_single(backend):
+    """Full FSP solve with expansion on the 8-device mesh equals the
+    single-device result."""
+    def build(mesh):
+        b = pm.models.poisson(2.0)
+        s = pm.FspSolverMultiSinks(backend=backend, odes_type="krylov",
+                                   mesh=mesh)
+        s.set_model(b.model)
+        s.set_initial_bounds([10])
+        s.set_expansion_factors([0.5])
+        s.set_initial_distribution(b.x0, b.p0)
+        return s
+
+    d1 = build(None).solve(10.0, 1e-6)
+    d8 = build(make_mesh()).solve(10.0, 1e-6)
+    assert d1.num_states == d8.num_states
+    np.testing.assert_allclose(d8.p, d1.p, rtol=1e-12, atol=1e-16)
+    err = np.abs(d8.p - poisson_law.pmf(d8.states[:, 0], 20.0)).sum()
+    assert err <= 1e-6

@@ -1,0 +1,111 @@
+"""Sensitivity FSP tests mirroring the reference test_sensmat.cpp and
+test_sensfsp_solver.cpp: sens-operator consistency against central finite
+differences, the analytic Poisson sensitivity oracle, and telegraph-model
+conservation checks."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.special import gammaln
+
+import pacmensl_tpu as pm
+from pacmensl_tpu.ops.ell_operator import EllOperator
+from pacmensl_tpu.ops.box_operator import BoxOperator
+from pacmensl_tpu.ops.sens_operator import SensOperator
+from pacmensl_tpu.ops.vecops import FspVector
+from pacmensl_tpu.statespace.state_set import StateSet
+from pacmensl_tpu.statespace.constraints import ConstraintSet
+from pacmensl_tpu.sensfsp.sens_solver import SensFspSolverMultiSinks
+from pacmensl_tpu.sensfsp.sens_distribution import SensDiscreteDistribution
+
+
+def test_sens_action_matches_finite_differences():
+    """(d_j A) v compared against central differences of the generator
+    built at perturbed parameter values (reference test_sensmat strategy)."""
+    theta = dict(k01=1.0e-2, k10=1.0e-1, kr=10.0, gamma=1.0)
+    names = list(theta)
+    bundle = pm.models.telegraph(**theta)
+    cs = ConstraintSet(None, [1, 1, 6])
+    ss = StateSet(bundle.model.stoichiometry, cs, init_states=bundle.x0)
+    ss.expand()
+    sop = SensOperator(bundle.model, ss, EllOperator)
+
+    rng = np.random.default_rng(0)
+    n = ss.num_states
+    v = np.zeros(sop.base.n_pad)
+    v[:n] = rng.random(n)
+    y = FspVector(p=jnp.asarray(v), sinks=jnp.zeros(3))
+
+    h = 1e-6
+    for j, name in enumerate(names):
+        dv = sop.sens_action(j, 0.0, y)
+        tp = dict(theta); tp[name] += h
+        tm = dict(theta); tm[name] -= h
+        Ap = EllOperator(pm.models.telegraph(**tp).model, ss).dense_matrix()
+        Am = EllOperator(pm.models.telegraph(**tm).model, ss).dense_matrix()
+        fd = (Ap - Am) / (2 * h) @ v[:n]
+        np.testing.assert_allclose(np.asarray(dv.p)[:n], fd[:n],
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dv.sinks), fd[n:],
+                                   rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("ode", ["cvode", "krylov"])
+def test_sens_poisson_analytic(ode):
+    """Reference test_sensfsp_solver.cpp Poisson oracle: dp/dlambda of
+    Poisson(lambda*t) is t*(p_{n-1} - p_n)."""
+    b = pm.models.poisson_sens(2.0)
+    s = SensFspSolverMultiSinks(backend="box", odes_type=ode)
+    s.set_model(b.model)
+    s.set_initial_bounds([5])
+    s.set_expansion_factors([0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    s.set_ode_tolerances(1e-8, 1e-14)
+    t_final, fsp_tol = 1.0, 1.0e-7
+    d = s.solve(t_final, fsp_tol)
+
+    lam = 2.0
+    nn = d.states[:, 0].astype(np.float64)
+    logp = -lam * t_final + nn * np.log(lam * t_final) - gammaln(nn + 1)
+    pdf = np.exp(logp)
+    assert np.abs(d.p - pdf).sum() <= fsp_tol
+    # d p_n / d lambda = -t p_n + t p_{n-1}
+    sens_exact = -t_final * pdf + t_final * np.concatenate(
+        [[0.0], pdf[:-1]])
+    assert np.abs(d.dp[0] - sens_exact).sum() <= 1.0e-6
+
+
+def test_sens_telegraph_conservation():
+    """Telegraph model: probability mass >= 1 - tol and each sensitivity
+    sums to ~0 (reference telegraph_sens_solve_with_cvode)."""
+    b = pm.models.telegraph()
+    s = SensFspSolverMultiSinks(backend="box", odes_type="cvode")
+    s.set_model(b.model)
+    s.set_initial_bounds(b.bounds)
+    s.set_expansion_factors(b.expansion_factors)
+    s.set_initial_distribution(b.x0, b.p0)
+    fsp_tol = 1e-8
+    d = s.solve(20.0, fsp_tol)
+    assert d.sum() >= 1.0 - fsp_tol
+    for j in range(d.num_parameters):
+        assert abs(d.dp[j].sum()) <= 1e-6
+
+
+def test_fim_and_sens_marginal():
+    b = pm.models.poisson_sens(2.0)
+    s = SensFspSolverMultiSinks(backend="box", odes_type="cvode")
+    s.set_model(b.model)
+    s.set_initial_bounds([5])
+    s.set_expansion_factors([0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    d = s.solve(1.0, 1e-7)
+    fim = d.compute_fim()
+    assert fim.shape == (1, 1)
+    # Poisson FIM w.r.t. lambda at time t: t^2/lambda (for a single draw)
+    assert fim[0, 0] == pytest.approx(1.0 / 2.0, rel=1e-2)
+    sm = d.sens_marginal(0, 0)
+    assert sm.sum() == pytest.approx(d.dp[0].sum())
+    # checkpoint round-trip
+    d.save("/tmp/sens_ckpt.npz")
+    d2 = SensDiscreteDistribution.load("/tmp/sens_ckpt.npz")
+    np.testing.assert_allclose(d2.dp, d.dp)

@@ -1,0 +1,49 @@
+"""Stationary FSP tests (reference test_stationaryfsp_solver.cpp
+strategy: solve for the stationary law of models with known analytic
+stationary distributions)."""
+import numpy as np
+import pytest
+from scipy.stats import poisson as poisson_law
+
+import pacmensl_tpu as pm
+from pacmensl_tpu.stationary.solver import StationaryFspSolverMultiSinks
+from pacmensl_tpu.sys.errors import SetupError
+
+
+@pytest.mark.parametrize("backend", ["box", "ell"])
+def test_birth_death_stationary_is_poisson(backend):
+    """Birth-death: stationary law is Poisson(birth/death) = Poisson(10)."""
+    b = pm.models.birth_death(birth=1.0, death=0.1)
+    s = StationaryFspSolverMultiSinks(backend=backend)
+    s.set_model(b.model)
+    s.set_initial_bounds([10])
+    s.set_expansion_factors([0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    d = s.solve(1.0e-7)
+    pdf = poisson_law.pmf(d.states[:, 0], 10.0)
+    pdf /= pdf.sum()        # compare against the truncated-normalized law
+    assert np.abs(d.p - pdf).sum() < 1e-6
+    # expansion must have kicked in (Poisson(10) mass above 10 is large)
+    assert d.bounds[0] > 10
+
+
+def test_telegraph_stationary_mean():
+    """Bursting gene: stationary mean mRNA = (kr/gamma) * k01/(k01+k10)."""
+    k01, k10, kr, gamma = 0.1, 0.2, 5.0, 1.0
+    b = pm.models.telegraph(k01, k10, kr, gamma)
+    s = StationaryFspSolverMultiSinks(backend="box")
+    s.set_model(b.model.base_model())
+    s.set_initial_bounds([1, 1, 15])
+    s.set_expansion_factors([0.0, 0.0, 0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    d = s.solve(1.0e-8)
+    mean_exact = (kr / gamma) * k01 / (k01 + k10)
+    assert d.mean(2) == pytest.approx(mean_exact, rel=1e-3)
+    assert d.sum() == pytest.approx(1.0, abs=1e-12)
+
+
+def test_stationary_rejects_time_varying():
+    b = pm.models.hog1p_5d()
+    s = StationaryFspSolverMultiSinks()
+    with pytest.raises(SetupError):
+        s.set_model(b.model)
