@@ -19,6 +19,17 @@ _X64 = os.environ.get("PACMENSL_TPU_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: FSP solves re-jit on capacity growth and
+# across solver instances; identical HLO (operator data is passed as jit
+# arguments, not baked constants) hits this cache instead of recompiling.
+# Compiles through the TPU tunnel cost tens of seconds, so this is load-
+# bearing for solve latency, not just a convenience.
+_CACHE_DIR = os.environ.get("PACMENSL_TPU_CACHE_DIR",
+                            "/tmp/pacmensl_jax_cache")
+if _CACHE_DIR:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 #: Default floating point dtype for probability vectors and operators.

@@ -267,6 +267,7 @@ class FspSolverMultiSinks:
         else:
             self._operator = EllOperator(self.model, self._space,
                                          dtype=self.dtype)
+        self._ode_solver = None     # operator identity/shapes changed
 
     def _initial_vector(self) -> FspVector:
         idx = self._space.state2index(self._init_states)
@@ -322,8 +323,12 @@ class FspSolverMultiSinks:
         raise SetupError(f"unsupported ODE solver type {self.odes_type}")
 
     def _expand(self, to_expand: np.ndarray):
-        """Grow flagged bounds, rebuild space+operator, scatter solution
-        (reference Advance_ expansion block, :114-211)."""
+        """Grow flagged bounds, scatter the solution — and rebuild the
+        operator only if the array capacity actually grew (reference
+        Advance_ expansion block, :114-211; the reference rebuilds its
+        matrices every time, but a PETSc re-assembly is milliseconds while
+        an XLA recompile is seconds, so here bound growth within capacity
+        only updates the operator *data*)."""
         new_bounds = self.constraints.expanded_bounds(to_expand)
         if self.verbosity:
             print(f"[fsp] t = {self._t_now:.4g}: expanding to bounds "
@@ -334,34 +339,60 @@ class FspSolverMultiSinks:
                 old_shape = self._space.shape
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
+                capacity_grew = tuple(self._space.shape) != tuple(old_shape)
             else:
                 states_old = self._space.copy_states()
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
                 self._space.expand()
-        with self.events.timed(EVT_MATGEN):
-            self._build_operator()
+                capacity_grew = True
+        if capacity_grew:
+            with self.events.timed(EVT_MATGEN):
+                self._build_operator()
+            self._ode_solver = None     # shapes changed: re-jit
+        else:
+            self._operator.refresh_data()
         with self.events.timed(EVT_SCATTER):
             if self._backend_used == "box":
-                p_new = self._space.embed_old(p_old, old_shape)
+                if capacity_grew:
+                    p_new = self._space.embed_old(p_old, old_shape)
+                    self._y = self._place(
+                        FspVector(p=p_new, sinks=sinks_old))
+                # within capacity: p is already laid out correctly and the
+                # newly valid states hold zeros (masked dynamics) — no
+                # scatter at all.
             else:
                 idx = self._space.state2index(states_old)
                 p_host = np.zeros(self._operator.n_pad, np.float64)
                 old = np.asarray(jax.device_get(p_old))
                 p_host[idx] = old[:states_old.shape[0]]
                 p_new = jnp.asarray(p_host, self.dtype)
-            self._y = self._place(FspVector(p=p_new, sinks=sinks_old))
+                self._y = self._place(FspVector(p=p_new, sinks=sinks_old))
         if self.verbosity:
             print(f"[fsp] new state count: {self.num_states}")
+
+    def _operator_data(self):
+        """Epoch data passed through the integrator into the matvec (box
+        backend); None for backends whose operators bake their arrays."""
+        return (self._operator.data()
+                if hasattr(self._operator, "data") else None)
 
     def _advance(self, t_final: float, fsp_tol: float) -> None:
         """The solve/check/expand loop (reference Advance_)."""
         with self.events.timed(EVT_TOTAL):
             status = STATUS_FSP_STOP
+            solver_key = (fsp_tol, t_final)
+            if getattr(self, "_ode_solver_key", None) != solver_key:
+                self._ode_solver = None
             while status == STATUS_FSP_STOP:
-                solver = self._make_ode_solver(fsp_tol, t_final)
+                if getattr(self, "_ode_solver", None) is None:
+                    self._ode_solver = self._make_ode_solver(
+                        fsp_tol, t_final)
+                    self._ode_solver_key = solver_key
+                solver = self._ode_solver
                 with self.events.timed(EVT_ODESOLVE):
-                    res = solver.solve(self._y, self._t_now, t_final)
+                    res = solver.solve(self._y, self._t_now, t_final,
+                                       data=self._operator_data())
                     status = int(res.status)
                 if status not in (STATUS_OK, STATUS_FSP_STOP):
                     raise IntegratorError(
@@ -407,6 +438,7 @@ class FspSolverMultiSinks:
         self._set_up = False
         self._space = None
         self._operator = None
+        self._ode_solver = None
         self._y = None
 
     # ------------------------------------------------------------ output

@@ -74,6 +74,7 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
         cls = BoxOperator if self._backend_used == "box" else EllOperator
         self._operator = SensOperator(self.model, self._space, cls,
                                       dtype=self.dtype)
+        self._ode_solver = None     # operator identity/shapes changed
 
     def _initial_vector(self) -> SensFspVector:
         idx = self._space.state2index(self._init_states)

@@ -85,9 +85,16 @@ class BdfSolver:
         self.dtype = dtype or DEFAULT_DTYPE
         self._solve_jit = jax.jit(self._solve)
 
-    def solve(self, y0, t0, t_final) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None) -> SolveResult:
+        """``data``: optional pytree forwarded to ``matvec(t, y, data)``
+        so compiled programs stay valid across FSP expansion epochs."""
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
-                               jnp.asarray(t_final, self.dtype))
+                               jnp.asarray(t_final, self.dtype), data)
+
+    def _mv(self, data):
+        if data is None:
+            return self.matvec
+        return lambda t, y: self.matvec(t, y, data)
 
     # -------------------------------------------------------------- util
     def _err_norm(self, err, scale_ref):
@@ -100,8 +107,9 @@ class BdfSolver:
         return jnp.sqrt(tot / n)
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final):
+    def _solve(self, y0, t0, t_final, data=None):
         dtype = self.dtype
+        mv = self._mv(data)
 
         n_c = y0.sinks.shape[0]
 
@@ -111,7 +119,7 @@ class BdfSolver:
             return jnp.asarray(self.stop_check(t, y), dtype).reshape(n_c)
 
         # ---- initial h (order-1 heuristic, as scipy BDF)
-        f0 = self.matvec(t0, y0)
+        f0 = mv(t0, y0)
         d1 = self._err_norm(f0, y0)
         h0 = jnp.where(d1 > 0, 0.01 / jnp.maximum(d1, 1e-30), 1e-6)
         h0 = jnp.clip(h0, 1e-12, (t_final - t0))
@@ -190,9 +198,9 @@ class BdfSolver:
 
             # linear solve: (I - c A) d = c A y_pred - psi
             def apply_M(v):
-                return vo.axpy(-c, self.matvec(t_new, v), v)
+                return vo.axpy(-c, mv(t_new, v), v)
 
-            rhs = vo.sub(vo.scale(c, self.matvec(t_new, y_pred)), psi)
+            rhs = vo.sub(vo.scale(c, mv(t_new, y_pred)), psi)
             sol = gmres(apply_M, rhs, vo.zeros_like(rhs),
                         restart=self.gmres_restart,
                         tol=self.gmres_tol, atol=self.atol,

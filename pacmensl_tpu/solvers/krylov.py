@@ -76,12 +76,21 @@ class KrylovSolver:
         self._solve_jit = jax.jit(self._solve)
 
     # ------------------------------------------------------------------
-    def solve(self, y0, t0, t_final) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None) -> SolveResult:
+        """``data``: optional pytree forwarded to ``matvec(t, y, data)``.
+        Passing epoch-dependent operator data here (instead of closing
+        over it) keeps the compiled program valid across FSP expansion
+        epochs at fixed capacity."""
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
-                               jnp.asarray(t_final, self.dtype))
+                               jnp.asarray(t_final, self.dtype), data)
+
+    def _mv(self, data):
+        if data is None:
+            return self.matvec
+        return lambda t, y: self.matvec(t, y, data)
 
     # ------------------------------------------------------------------
-    def _basis(self, t_now, y, beta, m):
+    def _basis(self, mv, t_now, y, beta, m):
         """IOP Arnoldi: returns (Vm, Hm, mb, k1, n_mv, finite)."""
         M1, M2 = self.m_max + 1, self.m_max + 2
         Vm = vo.stack_zeros(y, M1)
@@ -91,7 +100,7 @@ class KrylovSolver:
         def body(carry):
             j, Vm, Hm, happy, nmv = carry
             vj = vo.basis_get(Vm, j)
-            w = self.matvec(t_now, vj)
+            w = mv(t_now, vj)
             nmv = nmv + 1
             istart = jnp.maximum(0, j - self.q_iop + 1) \
                 if self.q_iop > 0 else 0
@@ -124,9 +133,10 @@ class KrylovSolver:
         return Vm, Hm, mb, k1, nmv, finite
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final):
+    def _solve(self, y0, t0, t_final, data=None):
         dtype = self.dtype
         M1 = self.m_max + 1
+        mv = self._mv(data)
 
         n_c = y0.sinks.shape[0]
 
@@ -142,14 +152,15 @@ class KrylovSolver:
 
             m = jnp.clip(m_next, self.m_min, self.m_max)
             beta = vo.norm2(y)
-            Vm, Hm, mb, k1, nmv_b, finite = self._basis(t_now, y, beta, m)
+            Vm, Hm, mb, k1, nmv_b, finite = self._basis(mv, t_now, y,
+                                                        beta, m)
             n_mv = n_mv + nmv_b
             status = jnp.where(finite & jnp.isfinite(beta),
                                status, STATUS_FAILURE)
 
             # --- first-step heuristic (KrylovFsp.cpp:133-144)
             def init_step(_):
-                av = self.matvec(t_now, y)
+                av = mv(t_now, y)
                 avn = vo.norm2(av)
                 anorm = avn / beta
                 mf = m.astype(dtype)
@@ -166,7 +177,7 @@ class KrylovSolver:
             # --- avnorm for the error estimator (KrylovFsp.cpp:148-155)
             def with_k1(_):
                 Hm2 = Hm.at[mb + 1, mb].set(1.0)
-                av = self.matvec(t_now, vo.basis_get(Vm, mb))
+                av = mv(t_now, vo.basis_get(Vm, mb))
                 return Hm2, vo.norm2(av)
 
             Hm2, avnorm = lax.cond(

@@ -64,9 +64,16 @@ class RKSolver:
         self.dtype = dtype or DEFAULT_DTYPE
         self._solve_jit = jax.jit(self._solve)
 
-    def solve(self, y0, t0, t_final) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None) -> SolveResult:
+        """``data``: optional pytree forwarded to ``matvec(t, y, data)``
+        so compiled programs stay valid across FSP expansion epochs."""
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
-                               jnp.asarray(t_final, self.dtype))
+                               jnp.asarray(t_final, self.dtype), data)
+
+    def _mv(self, data):
+        if data is None:
+            return self.matvec
+        return lambda t, y: self.matvec(t, y, data)
 
     # ------------------------------------------------------------------
     def _err_norm(self, err, y0, y1):
@@ -85,7 +92,7 @@ class RKSolver:
             n += sz
         return jnp.sqrt(tot / n)
 
-    def _rk_step(self, t, y, h):
+    def _rk_step(self, mv, t, y, h):
         """One DP5(4) step: returns (y5, err_vec, k1_next, n_mv)."""
         ks = []
         for i in range(6):
@@ -93,12 +100,12 @@ class RKSolver:
             for j in range(i):
                 if _A[i, j] != 0.0:
                     yi = vo.axpy(h * _A[i, j], ks[j], yi)
-            ks.append(self.matvec(t + _C[i] * h, yi))
+            ks.append(mv(t + _C[i] * h, yi))
         y5 = y
         for i in range(6):
             if _B[i] != 0.0:
                 y5 = vo.axpy(h * _B[i], ks[i], y5)
-        k7 = self.matvec(t + h, y5)          # FSAL stage
+        k7 = mv(t + h, y5)          # FSAL stage
         ks.append(k7)
         # error = y5 - y4
         err = vo.zeros_like(y)
@@ -108,15 +115,15 @@ class RKSolver:
                 err = vo.axpy(h * d, ks[i], err)
         return y5, err, 7
 
-    def _initial_step(self, t0, y0, t_final):
+    def _initial_step(self, mv, t0, y0, t_final):
         """scipy-style initial step heuristic (order 5)."""
-        f0 = self.matvec(t0, y0)
+        f0 = mv(t0, y0)
         scale_dot = self._err_norm(y0, y0, y0)  # ||y/scale||
         d0 = scale_dot
         d1 = self._err_norm(f0, y0, y0)
         h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
         y1 = vo.axpy(h0, f0, y0)
-        f1 = self.matvec(t0 + h0, y1)
+        f1 = mv(t0 + h0, y1)
         d2 = self._err_norm(vo.sub(f1, f0), y0, y0) / h0
         h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
                        jnp.maximum(1e-6, h0 * 1e-3),
@@ -124,8 +131,9 @@ class RKSolver:
         return jnp.minimum(100 * h0, jnp.minimum(h1, t_final - t0))
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final):
+    def _solve(self, y0, t0, t_final, data=None):
         dtype = self.dtype
+        mv = self._mv(data)
         n_c = y0.sinks.shape[0]
 
         def fsp_excess(t, y):
@@ -133,14 +141,14 @@ class RKSolver:
                 return jnp.full((n_c,), -1.0, dtype)
             return jnp.asarray(self.stop_check(t, y), dtype).reshape(n_c)
 
-        h_init = self._initial_step(t0, y0, t_final)
+        h_init = self._initial_step(mv, t0, y0, t_final)
 
         def step(carry):
             (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve,
              viol) = carry
             h = jnp.minimum(h, t_final - t)
-            y5, err, mv = self._rk_step(t, y, h)
-            n_mv = n_mv + mv
+            y5, err, n_stage = self._rk_step(mv, t, y, h)
+            n_mv = n_mv + n_stage
             enorm = self._err_norm(err, y, y5)
             finite = vo.isfinite(y5) & jnp.isfinite(enorm)
             accept = (enorm <= 1.0) & finite

@@ -64,8 +64,34 @@ def _bfs_closure(seed_mask: jnp.ndarray, ok_mask: jnp.ndarray,
     return mask
 
 
+#: Geometric capacity ladder (x1.5 steps).  Box axes are allocated at
+#: ladder sizes so that expansion epochs usually reuse the existing array
+#: capacity — and hence the existing compiled XLA programs, whose only
+#: epoch-dependent inputs (bounds, mask) are runtime data.  This is the
+#: "recompile only on capacity growth" strategy of SURVEY.md §7: the
+#: reference rebuilds its PETSc matrices every expansion, but a rebuild
+#: there costs milliseconds while an XLA recompile costs seconds.
+def _ladder(n: int) -> int:
+    c = 4
+    while c < n:
+        c = max(c + 1, int(c * 3 / 2))
+    return c
+
+
+def _round_capacity(n: int, quantum: int = 1) -> int:
+    c = _ladder(int(n))
+    q = int(quantum)
+    return -(-c // q) * q
+
+
 class BoxStateSpace:
-    """Constraint-shaped state space on a dense bounding box."""
+    """Constraint-shaped state space on a dense bounding box.
+
+    The allocated array shape (:attr:`shape`) is a *capacity*: each axis is
+    the bounding-box extent rounded up the capacity ladder.  The validity
+    mask excludes padded states, so padding never changes results; bound
+    growth that stays within capacity changes only the mask (data), not any
+    array shape (program)."""
 
     def __init__(self,
                  stoichiometry: np.ndarray,
@@ -73,11 +99,9 @@ class BoxStateSpace:
                  init_states,
                  track_reachability: bool = True,
                  pad_quanta=None):
-        """``pad_quanta``: per-axis size quanta; each box axis is rounded
-        up to a multiple of its quantum.  Used to make the sharded axis
-        divisible by the mesh size and to align to TPU tile sizes; the
-        validity mask keeps padded states excluded, so padding never
-        changes results."""
+        """``pad_quanta``: per-axis size quanta; each capacity axis is
+        rounded up to a multiple of its quantum (used to make the sharded
+        axis divisible by the mesh size)."""
         self.stoich = np.atleast_2d(np.asarray(stoichiometry, dtype=np.int64))
         self.constraints = constraints
         self.init_states = np.atleast_2d(
@@ -90,6 +114,8 @@ class BoxStateSpace:
         self.pad_quanta = (np.ones(self.num_species, dtype=np.int64)
                            if pad_quanta is None
                            else np.asarray(pad_quanta, dtype=np.int64))
+        self._shape = None
+        self._mask_builder = None
         self._build()
 
     # ------------------------------------------------------------ basics
@@ -133,9 +159,6 @@ class BoxStateSpace:
             self.num_species, self.init_states)
         self._box_bounds = box_bounds
         raw_shape = np.asarray(box_shape_from_bounds(box_bounds))
-        q = self.pad_quanta
-        self._shape = tuple(int(-(-s // qi) * qi)
-                            for s, qi in zip(raw_shape, q))
 
         init_ok = np.array(self.constraints.all_satisfied(self.init_states))
         if not init_ok.all():
@@ -146,33 +169,50 @@ class BoxStateSpace:
                 (self.init_states > box_bounds[None, :]).any():
             raise StateSpaceError("initial states outside the box")
 
-        # One jitted program builds the whole mask (constraint check + BFS
-        # reachability closure + count): eager op-by-op construction would
-        # pay a dispatch/compile round-trip per op on TPU.
-        shape = self._shape
+        # Capacity: keep the current allocation when the box still fits,
+        # else round the new extents up the ladder (and mesh quanta).
+        if self._shape is None or \
+                any(int(s) > c for s, c in zip(raw_shape, self._shape)):
+            new_shape = tuple(
+                max(_round_capacity(int(s), int(qi)), c)
+                for s, c, qi in zip(
+                    raw_shape,
+                    self._shape or (0,) * len(raw_shape),
+                    self.pad_quanta))
+            self._shape = new_shape
+            self._mask_builder = self._make_mask_builder(new_shape)
+
+        bounds_arr = jnp.asarray(self.constraints.bounds)
+        seed_idx = jnp.asarray(np.ravel_multi_index(
+            tuple(self.init_states.T), self._shape))  # C-order, padded
+        self._mask, n = self._mask_builder(bounds_arr, seed_idx)
+        self._num_states = int(jax.device_get(n))
+
+    def _make_mask_builder(self, shape):
+        """One jitted program builds the whole mask (constraint check + BFS
+        reachability closure + count).  Compiled once per capacity; the
+        constraint bounds and BFS seed are runtime arguments, so every
+        expansion epoch that stays within capacity reuses it."""
         shifts = tuple(tuple(int(v) for v in row) for row in self.stoich)
-        flat_idx = np.ravel_multi_index(
-            tuple(self.init_states.T), shape)  # C-order, padded
         track = self.track_reachability
-        constraints = self.constraints
+        values_fn = self.constraints.values_fn
         # Diameter bound: BFS can traverse at most the full box extent
         # in every dimension per unit shift.
         max_iters = int(sum(shape)) + 1
 
         @jax.jit
-        def build_mask():
+        def build_mask(bounds_arr, seed_flat_idx):
             coords = coord_grid(shape)
-            ok = jnp.all(constraints.satisfied(coords), axis=1
-                         ).reshape(shape)
+            ok = jnp.all(values_fn(coords) <= bounds_arr[None, :],
+                         axis=1).reshape(shape)
             if not track:
                 return ok, ok.sum()
             seed = jnp.zeros(shape, dtype=bool).reshape(-1)
-            seed = seed.at[jnp.asarray(flat_idx)].set(True).reshape(shape)
+            seed = seed.at[seed_flat_idx].set(True).reshape(shape)
             mask = _bfs_closure(seed, ok, shifts, max_iters)
             return mask, mask.sum()
 
-        self._mask, n = build_mask()
-        self._num_states = int(jax.device_get(n))
+        return build_mask
 
     # ------------------------------------------------------- expansion ---
     def set_bounds(self, new_bounds) -> None:
@@ -188,7 +228,12 @@ class BoxStateSpace:
     def embed_old(self, p_old: jnp.ndarray,
                   old_shape: Tuple[int, ...]) -> jnp.ndarray:
         """Zero-pad an old box-shaped array into the current (larger) box —
-        the ``ExpandVec`` analogue (PetscWrap.cpp:26-56)."""
+        the ``ExpandVec`` analogue (PetscWrap.cpp:26-56).  When the bound
+        growth stayed within the allocated capacity this is the identity:
+        the newly valid states already hold zeros under the old mask."""
+        old_shape = tuple(old_shape)
+        if old_shape == tuple(self._shape):
+            return p_old
         pad = [(0, n - o, 0) for n, o in zip(self._shape, old_shape)]
         return lax.pad(p_old.reshape(old_shape),
                        jnp.zeros((), p_old.dtype), pad)

@@ -91,6 +91,23 @@ class ConstraintSet:
             self._sat_jit = jax.jit(self._satisfied_impl)
         return self._sat_jit(jnp.asarray(states))
 
+    def values_fn(self, states) -> jnp.ndarray:
+        """Raw constraint scores, trace-only (no jit wrapper, no bounds).
+
+        Use inside already-jitted programs that compare against *traced*
+        bounds — the capacity-stable formulation where bounds are data,
+        not compile-time constants."""
+        return self._values_impl(states)
+
+    def satisfied_with(self, states, bounds) -> jnp.ndarray:
+        """Per-constraint bitmap against a *traced* bounds vector.
+
+        Same semantics as :meth:`satisfied`, but the RHS comes from the
+        argument instead of ``self.bounds`` so one compiled program serves
+        every expansion epoch at a fixed array capacity."""
+        b = jnp.asarray(bounds)
+        return self._values_impl(states) <= b[None, :]
+
     def all_satisfied(self, states) -> jnp.ndarray:
         if isinstance(states, jax.core.Tracer):
             return jnp.all(self._satisfied_impl(states), axis=1)
