@@ -24,6 +24,8 @@ from . import config  # noqa: F401  (must run first: sets jax_enable_x64)
 
 from .config import DEFAULT_DTYPE, default_dtype, x64_enabled  # noqa: F401
 from .sys import errors  # noqa: F401
+from .sys.errors import (  # noqa: F401
+    PacmenslError, SetupError, StateSpaceError, IntegratorError)
 from .sys.environment import Environment, init, finalize, STATE_AXIS  # noqa: F401
 from .sys.options import Options, GLOBAL_OPTIONS  # noqa: F401
 from .sys.events import EventLog  # noqa: F401

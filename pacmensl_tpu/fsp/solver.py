@@ -69,10 +69,12 @@ class FspSolverMultiSinks:
         self.constraints: Optional[ConstraintSet] = None
         self._init_states: Optional[np.ndarray] = None
         self._init_probs: Optional[np.ndarray] = None
-        self.ode_rtol = 1.0e-6
+        # None = dtype-aware solver defaults (f64: reference values;
+        # f32: loosened to what the precision can resolve)
+        self.ode_rtol: Optional[float] = None
         self.ode_atol = 1.0e-14
         self.krylov_dim_range = (25, 60)
-        self.krylov_abs_tol = 1.0e-14
+        self.krylov_abs_tol: Optional[float] = None
         self.verbosity = 0
         self.log_events = True
         self.events = EventLog(enabled=True)
@@ -164,7 +166,8 @@ class FspSolverMultiSinks:
         return self
 
     def set_ode_tolerances(self, rtol, atol) -> "FspSolverMultiSinks":
-        self.ode_rtol, self.ode_atol = float(rtol), float(atol)
+        self.ode_rtol = None if rtol is None else float(rtol)
+        self.ode_atol = float(atol)
         return self
 
     def set_krylov_dim_range(self, m_min, m_max) -> "FspSolverMultiSinks":
@@ -297,11 +300,20 @@ class FspSolverMultiSinks:
         n_sinks = self.constraints.num_constraints
 
         if fsp_tol > 0:
-            def stop_check(t, y):
+            def stop_check(t, y, forgiven):
                 # reference CheckFspTolerance_ (FspSolverMultiSinks.cpp:
                 # 576-611): sink_i exceeds its share of the tolerance
-                # budget pro-rated by t/t_final.
-                return y.sinks * n_sinks - fsp_tol * (t / t_final)
+                # budget pro-rated by t/t_final.  ``forgiven`` subtracts
+                # the excess already accumulated when the epoch started:
+                # mass that reached a sink before an expansion can never
+                # be reclaimed by growing the space, so re-tripping on it
+                # would deadlock the solve/expand loop (expand, resume,
+                # stop on the very first step, forever).  Only *new*
+                # leakage beyond the pro-rated budget triggers a stop.
+                excess = y.sinks * n_sinks - fsp_tol * (t / t_final)
+                if forgiven is not None:
+                    excess = excess - forgiven
+                return excess
         else:
             stop_check = None
 
@@ -334,17 +346,20 @@ class FspSolverMultiSinks:
             print(f"[fsp] t = {self._t_now:.4g}: expanding to bounds "
                   f"{new_bounds.tolist()}")
         p_old, sinks_old = self._y.p, self._y.sinks
+        n_before = self._space.num_states
         with self.events.timed(EVT_PARTITION):
             if self._backend_used == "box":
                 old_shape = self._space.shape
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
+                self._escalate_if_stuck(n_before, to_expand)
                 capacity_grew = tuple(self._space.shape) != tuple(old_shape)
             else:
                 states_old = self._space.copy_states()
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
                 self._space.expand()
+                self._escalate_if_stuck(n_before, to_expand)
                 capacity_grew = True
         if capacity_grew:
             with self.events.timed(EVT_MATGEN):
@@ -371,6 +386,35 @@ class FspSolverMultiSinks:
         if self.verbosity:
             print(f"[fsp] new state count: {self.num_states}")
 
+    def _escalate_if_stuck(self, n_before: int, to_expand) -> None:
+        """If growing the flagged bounds added no states, grow *all*
+        bounds until the space does grow.
+
+        A flagged constraint's bound can be unreachable because other
+        constraints cap it (e.g. a product constraint x_i * x_j capped by
+        the coordinate bounds on x_i and x_j).  The reference has the same
+        structural hazard — its sink rows multi-count a boundary
+        transition into every violated constraint
+        (FspMatrixConstrained.cpp:173-195) — and would grow the flagged
+        bound forever without admitting a single new state.  Escalating to
+        an all-constraint growth step restores progress while keeping the
+        per-sink expansion semantics for the common case.
+        """
+        if self._space.num_states > n_before:
+            return
+        growable = self.constraints.expansion_factors > 0.0
+        for _ in range(64):
+            new_bounds = self.constraints.expanded_bounds(growable)
+            self._space.set_bounds(new_bounds)
+            self.constraints = self._space.constraints
+            if self._backend_used != "box":
+                self._space.expand()
+            if self._space.num_states > n_before:
+                return
+        raise StateSpaceError(
+            "FSP expansion cannot add states: all growable bounds "
+            f"exhausted (bounds={self.constraints.bounds.tolist()})")
+
     def _operator_data(self):
         """Epoch data passed through the integrator into the matvec (box
         backend); None for backends whose operators bake their arrays."""
@@ -390,9 +434,23 @@ class FspSolverMultiSinks:
                         fsp_tol, t_final)
                     self._ode_solver_key = solver_key
                 solver = self._ode_solver
+                if fsp_tol > 0:
+                    # already-lost sink mass beyond the pro-rated budget
+                    # at epoch start — forgiven by the stop-check (see
+                    # _make_ode_solver); zeros in the benign regime.
+                    n_sinks = self.constraints.num_constraints
+                    sinks_now = np.asarray(jax.device_get(self._y.sinks),
+                                           np.float64)
+                    forgiven = jnp.asarray(
+                        np.maximum(0.0, sinks_now * n_sinks -
+                                   fsp_tol * (self._t_now / t_final)),
+                        self.dtype)
+                else:
+                    forgiven = None
                 with self.events.timed(EVT_ODESOLVE):
                     res = solver.solve(self._y, self._t_now, t_final,
-                                       data=self._operator_data())
+                                       data=self._operator_data(),
+                                       stop_aux=forgiven)
                     status = int(res.status)
                 if status not in (STATUS_OK, STATUS_FSP_STOP):
                     raise IntegratorError(

@@ -105,11 +105,13 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
             print(f"[sensfsp] t = {self._t_now:.4g}: expanding to "
                   f"{new_bounds.tolist()}")
         y = self._y
+        n_before = self._space.num_states
         with self.events.timed(EVT_MATGEN):
             if self._backend_used == "box":
                 old_shape = self._space.shape
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
+                self._escalate_if_stuck(n_before, to_expand)
                 self._build_operator()
                 p_new = self._space.embed_old(y.p, old_shape)
                 s_new = jnp.stack([self._space.embed_old(y.s[j], old_shape)
@@ -119,6 +121,7 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
                 self._space.expand()
+                self._escalate_if_stuck(n_before, to_expand)
                 self._build_operator()
                 idx = self._space.state2index(states_old)
                 n_old = states_old.shape[0]

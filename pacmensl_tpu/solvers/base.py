@@ -30,12 +30,29 @@ from ..ops.vecops import FspVector
 
 #: matvec(t, y: FspVector) -> FspVector
 MatVec = Callable[[Any, FspVector], FspVector]
-#: stop_check(t, y) -> per-constraint error excess [n_constraints];
+#: stop_check(t, y[, aux]) -> per-constraint error excess [n_constraints];
 #: any entry > 0 means FSP stop.  The solver records the elementwise
 #: running max over every evaluation (SolveResult.viol_excess), which is
 #: how the reference accumulates its per-sink expansion flags
-#: (``to_expand_``, FspSolverMultiSinks.cpp:576-611).
-StopCheck = Callable[[Any, FspVector], jnp.ndarray]
+#: (``to_expand_``, FspSolverMultiSinks.cpp:576-611).  The optional third
+#: argument is the ``stop_aux`` pytree passed to ``solve`` — per-epoch
+#: stop-check data (e.g. already-forfeited sink mass) threaded as a jit
+#: *argument* so epoch changes never recompile.
+StopCheck = Callable[..., jnp.ndarray]
+
+
+def wrap_stop_check(fn: Optional[StopCheck]) -> Optional[StopCheck]:
+    """Normalize a stop-check to the 3-argument ``(t, y, aux)`` form."""
+    if fn is None:
+        return None
+    import inspect
+    try:
+        n_params = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params >= 3:
+        return fn
+    return lambda t, y, aux: fn(t, y)
 
 
 class ODESolverType(enum.Enum):

@@ -29,7 +29,8 @@ from jax import lax
 from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo
 from ..ops.gmres import gmres
-from .base import (MatVec, StopCheck, SolveResult, SolveStats,
+from .base import (wrap_stop_check,
+                   MatVec, StopCheck, SolveResult, SolveStats,
                    STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE)
 
 MAX_ORDER = 5
@@ -68,28 +69,35 @@ class BdfSolver:
     def __init__(self,
                  matvec: MatVec,
                  *,
-                 rtol: float = 1.0e-6,
+                 rtol: Optional[float] = None,
                  atol: float = 1.0e-14,
                  gmres_restart: int = 30,
-                 gmres_tol: float = 1.0e-10,
+                 gmres_tol: Optional[float] = None,
                  max_steps: int = 10_000_000,
                  stop_check: Optional[StopCheck] = None,
                  dtype=None):
         self.matvec = matvec
-        self.rtol = float(rtol)
+        self.dtype = dtype or DEFAULT_DTYPE
+        # f32 cannot resolve relative errors below ~1e-7 (see KrylovSolver)
+        f32 = jnp.finfo(self.dtype).eps > 1.0e-10
+        self.rtol = float(rtol if rtol is not None
+                          else (1.0e-4 if f32 else 1.0e-6))
         self.atol = float(atol)
         self.gmres_restart = int(gmres_restart)
-        self.gmres_tol = float(gmres_tol)
+        self.gmres_tol = float(gmres_tol if gmres_tol is not None
+                               else (1.0e-5 if f32 else 1.0e-10))
         self.max_steps = int(max_steps)
-        self.stop_check = stop_check
-        self.dtype = dtype or DEFAULT_DTYPE
+        self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
-    def solve(self, y0, t0, t_final, data=None) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None, stop_aux=None
+              ) -> SolveResult:
         """``data``: optional pytree forwarded to ``matvec(t, y, data)``
-        so compiled programs stay valid across FSP expansion epochs."""
+        so compiled programs stay valid across FSP expansion epochs;
+        ``stop_aux`` likewise for the stop-check."""
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
-                               jnp.asarray(t_final, self.dtype), data)
+                               jnp.asarray(t_final, self.dtype), data,
+                               stop_aux)
 
     def _mv(self, data):
         if data is None:
@@ -107,7 +115,7 @@ class BdfSolver:
         return jnp.sqrt(tot / n)
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final, data=None):
+    def _solve(self, y0, t0, t_final, data=None, stop_aux=None):
         dtype = self.dtype
         mv = self._mv(data)
 
@@ -116,7 +124,8 @@ class BdfSolver:
         def fsp_excess(t, y):
             if self.stop_check is None:
                 return jnp.full((n_c,), -1.0, dtype)
-            return jnp.asarray(self.stop_check(t, y), dtype).reshape(n_c)
+            return jnp.asarray(self.stop_check(t, y, stop_aux),
+                               dtype).reshape(n_c)
 
         # ---- initial h (order-1 heuristic, as scipy BDF)
         f0 = mv(t0, y0)

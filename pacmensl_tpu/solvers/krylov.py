@@ -39,7 +39,8 @@ from ..ops.expm import expm   # TPU-safe f64 expm (no LU)
 from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo
 from .base import (MatVec, StopCheck, SolveResult, SolveStats,
-                   STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE)
+                   STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE,
+                   wrap_stop_check)
 
 
 class KrylovSolver:
@@ -48,11 +49,11 @@ class KrylovSolver:
     def __init__(self,
                  matvec: MatVec,
                  *,
-                 abs_tol: float = 1.0e-14,
+                 abs_tol: Optional[float] = None,
                  m_min: int = 25,
                  m_max: int = 60,
                  q_iop: int = 2,
-                 btol: float = 1.0e-14,
+                 btol: Optional[float] = None,
                  delta: float = 1.2,
                  gamma: float = 0.9,
                  max_reject: int = 100,
@@ -61,28 +62,37 @@ class KrylovSolver:
                  stop_check: Optional[StopCheck] = None,
                  dtype=None):
         self.matvec = matvec
-        self.abs_tol = float(abs_tol)
+        self.dtype = dtype or DEFAULT_DTYPE
+        # dtype-aware defaults: the reference's 1e-14 tolerances
+        # (KrylovFsp.h) are unreachable below f64 and would reject every
+        # step; in f32 the local-error floor is ~eps*||y|| ~ 1e-7.
+        f32 = jnp.finfo(self.dtype).eps > 1.0e-10
+        self.abs_tol = float(abs_tol if abs_tol is not None
+                             else (1.0e-6 if f32 else 1.0e-14))
         self.m_min = int(m_min)
         self.m_max = int(m_max)
         self.q_iop = int(q_iop)
-        self.btol = float(btol)
+        self.btol = float(btol if btol is not None
+                          else (1.0e-6 if f32 else 1.0e-14))
         self.delta = float(delta)
         self.gamma = float(gamma)
         self.max_reject = int(max_reject)
         self.max_steps = int(max_steps)
         self.rhs_cost = float(rhs_cost)
-        self.stop_check = stop_check
-        self.dtype = dtype or DEFAULT_DTYPE
+        self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
     # ------------------------------------------------------------------
-    def solve(self, y0, t0, t_final, data=None) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None, stop_aux=None
+              ) -> SolveResult:
         """``data``: optional pytree forwarded to ``matvec(t, y, data)``.
         Passing epoch-dependent operator data here (instead of closing
         over it) keeps the compiled program valid across FSP expansion
-        epochs at fixed capacity."""
+        epochs at fixed capacity.  ``stop_aux``: pytree forwarded to the
+        stop-check, same epoch-stability rationale."""
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
-                               jnp.asarray(t_final, self.dtype), data)
+                               jnp.asarray(t_final, self.dtype), data,
+                               stop_aux)
 
     def _mv(self, data):
         if data is None:
@@ -133,7 +143,7 @@ class KrylovSolver:
         return Vm, Hm, mb, k1, nmv, finite
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final, data=None):
+    def _solve(self, y0, t0, t_final, data=None, stop_aux=None):
         dtype = self.dtype
         M1 = self.m_max + 1
         mv = self._mv(data)
@@ -143,7 +153,7 @@ class KrylovSolver:
         def fsp_excess(t, y):
             if self.stop_check is None:
                 return jnp.full((n_c,), -1.0, dtype)
-            return jnp.asarray(self.stop_check(t, y),
+            return jnp.asarray(self.stop_check(t, y, stop_aux),
                                dtype).reshape(n_c)
 
         def step(carry):
