@@ -14,11 +14,12 @@ with
   StateSetConstrained.cpp:132-221).
 
 The reference implements the state->index map as a Zoltan distributed hash
-table with rendezvous hashing.  Here the map is a sorted mixed-radix key
-array + binary search (optionally accelerated by the native C++ hash module
-``pacmensl_tpu.native.fastset``): lookups happen only at assembly time, never
-in the integrator hot loop, so host-side data structures are the right tool
-(`SURVEY.md` §7 core representation choices).
+table with rendezvous hashing.  Here the map is the native C++ hash
+directory :class:`pacmensl_tpu.native.fastset.FastSet` (open addressing on
+mixed-radix keys; numpy binary-search fallback without a toolchain):
+lookups happen only at assembly time, never in the integrator hot loop, so
+host-side data structures are the right tool (`SURVEY.md` §7 core
+representation choices).
 
 This backend exists for exact set-parity with the reference (BFS-reachable
 states only) and for constraint shapes too sparse for the dense-box backend;
@@ -32,6 +33,7 @@ import numpy as np
 
 from ..sys.errors import StateSpaceError
 from ..sys import indexing
+from ..native.fastset import FastSet, sub2ind_native
 from .constraints import ConstraintSet
 
 # Status codes (reference StateSetBase active/inactive bookkeeping)
@@ -53,9 +55,7 @@ class StateSet:
         self.status = np.zeros((0,), dtype=np.int8)
         self._use_native = use_native
         self._refresh_key_space()
-        self._keys = np.zeros((0,), dtype=np.int64)       # insertion order
-        self._sorted_keys = self._keys
-        self._sorted_pos = np.zeros((0,), dtype=np.int64)
+        self._dir = FastSet()
         if init_states is not None:
             self.add_states(init_states)
 
@@ -100,13 +100,18 @@ class StateSet:
         self._key_bounds = box
 
     def _keys_of(self, states) -> np.ndarray:
+        if self._use_native:
+            return sub2ind_native(self._key_bounds, states)
         return indexing.sub2ind(self._key_bounds, states)
 
     def _reindex(self):
-        self._keys = self._keys_of(self.states)
-        order = np.argsort(self._keys, kind="stable")
-        self._sorted_keys = self._keys[order]
-        self._sorted_pos = order
+        """Rebuild the key directory (keys depend on the key-space bounds,
+        so growth of the constraint box invalidates every key — the
+        reference instead updates its Zoltan DD entries in place,
+        StateSetBase.cpp:459-476; a rebuild is the same O(n) work)."""
+        self._dir = FastSet(capacity_hint=max(2 * self.num_states, 1024))
+        if self.num_states:
+            self._dir.insert(self._keys_of(self.states))
 
     # ------------------------------------------------------------ insert
     def add_states(self, new_states) -> int:
@@ -125,24 +130,17 @@ class StateSet:
         if new_states.size == 0:
             return 0
 
+        # one directory pass dedupes within the batch AND against members
+        # (the reference's DD probe -> update -> find round,
+        # StateSetBase.cpp:188-258)
         keys = self._keys_of(new_states)
-        # dedup within batch (keep first occurrence)
-        _, first = np.unique(keys, return_index=True)
-        first.sort()
-        new_states, keys = new_states[first], keys[first]
-        # dedup against members
-        if self._sorted_keys.size:
-            pos = np.searchsorted(self._sorted_keys, keys)
-            pos = np.clip(pos, 0, self._sorted_keys.size - 1)
-            exists = self._sorted_keys[pos] == keys
-            new_states = new_states[~exists]
-        if new_states.size == 0:
+        fresh = self._dir.insert(keys)
+        if not fresh.any():
             return 0
-
+        new_states = new_states[fresh]
         self.states = np.concatenate([self.states, new_states], axis=0)
         self.status = np.concatenate(
             [self.status, np.full(new_states.shape[0], ACTIVE, np.int8)])
-        self._reindex()
         return new_states.shape[0]
 
     # ------------------------------------------------------------ lookup
@@ -150,17 +148,7 @@ class StateSet:
         """Global index of each state, or -1 if absent (reference
         State2Index)."""
         states = np.atleast_2d(np.asarray(states, dtype=np.int64))
-        keys = self._keys_of(states)
-        out = np.full(keys.shape, -1, dtype=np.int64)
-        if self._sorted_keys.size == 0:
-            return out
-        valid = keys >= 0
-        pos = np.searchsorted(self._sorted_keys, keys[valid])
-        pos = np.clip(pos, 0, self._sorted_keys.size - 1)
-        hit = self._sorted_keys[pos] == keys[valid]
-        res = np.where(hit, self._sorted_pos[pos], -1)
-        out[valid] = res
-        return out
+        return self._dir.lookup(self._keys_of(states))
 
     # ------------------------------------------------------------ expand
     def expand(self, max_rounds: int = 1_000_000) -> int:
