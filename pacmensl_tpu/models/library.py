@@ -70,13 +70,13 @@ def toggle() -> BundledModel:
     def prop(x, r):
         xf = _f(x)
         if r == 0:
-            return jnp.full(x.shape[:1], kx0)
+            return jnp.full_like(xf[:, 0], kx0)
         if r == 1:
             return kx / (1.0 + ayx * jnp.power(xf[:, 1], nyx))
         if r == 2:
             return dx * xf[:, 0]
         if r == 3:
-            return jnp.full(x.shape[:1], ky0)
+            return jnp.full_like(xf[:, 0], ky0)
         if r == 4:
             return ky / (1.0 + axy * jnp.power(xf[:, 0], nxy))
         if r == 5:
@@ -85,6 +85,9 @@ def toggle() -> BundledModel:
 
     def constr(x):
         return jnp.stack([x[:, 0], x[:, 1], x[:, 0] * x[:, 1]], axis=1)
+
+    constr.components = (lambda x: x[:, 0], lambda x: x[:, 1],
+                         lambda x: x[:, 0] * x[:, 1])
 
     return BundledModel(
         model=Model(stoich, prop),
@@ -128,6 +131,11 @@ def repressilator() -> BundledModel:
             x[:, 0], x[:, 1], x[:, 2],
             x[:, 0] * x[:, 1], x[:, 2] * x[:, 1], x[:, 0] * x[:, 2],
         ], axis=1)
+
+    constr.components = (
+        lambda x: x[:, 0], lambda x: x[:, 1], lambda x: x[:, 2],
+        lambda x: x[:, 0] * x[:, 1], lambda x: x[:, 2] * x[:, 1],
+        lambda x: x[:, 0] * x[:, 2])
 
     return BundledModel(
         model=Model(stoich, prop),
@@ -201,6 +209,11 @@ def hog1p_5d() -> BundledModel:
             x[:, 1] + x[:, 3], x[:, 2] + x[:, 4],
         ], axis=1)
 
+    constr.components = (
+        lambda x: x[:, 0], lambda x: x[:, 1], lambda x: x[:, 2],
+        lambda x: x[:, 3], lambda x: x[:, 4],
+        lambda x: x[:, 1] + x[:, 3], lambda x: x[:, 2] + x[:, 4])
+
     return BundledModel(
         model=Model(stoich, prop, t_coeff, tv_reactions=(2,)),
         constraint=constr,
@@ -255,6 +268,11 @@ def hog1p_3d() -> BundledModel:
             (x[:, 0] == 0) * rna, (x[:, 0] == 1) * rna,
             (x[:, 0] == 2) * rna, (x[:, 0] == 3) * rna,
         ], axis=1)
+
+    constr.components = tuple(
+        [lambda x: x[:, 0], lambda x: x[:, 1], lambda x: x[:, 2]] +
+        [(lambda x, _g=g: (x[:, 0] == _g) * (x[:, 1] + x[:, 2]))
+         for g in range(4)])
 
     return BundledModel(
         model=Model(stoich, prop, t_coeff, tv_reactions=(2,)),
@@ -344,7 +362,7 @@ def poisson(rate: float = 2.0) -> BundledModel:
     stoich = np.array([[1]])
 
     def prop(x, r):
-        return jnp.full(x.shape[:1], rate)
+        return jnp.full_like(_f(x)[:, 0], rate)
 
     return BundledModel(
         model=Model(stoich, prop),
@@ -362,7 +380,7 @@ def poisson_sens(rate: float = 2.0) -> BundledModel:
     stoich = np.array([[1]])
 
     def prop(x, r):
-        return jnp.ones(x.shape[:1])
+        return jnp.full_like(_f(x)[:, 0], 1.0)
 
     def t_coeff(t):
         return jnp.array([rate])
@@ -388,7 +406,7 @@ def birth_death(birth: float = 1.0, death: float = 0.1) -> BundledModel:
 
     def prop(x, r):
         if r == 0:
-            return jnp.full(x.shape[:1], birth)
+            return jnp.full_like(_f(x)[:, 0], birth)
         return death * _f(x)[:, 0]
 
     return BundledModel(
@@ -434,7 +452,7 @@ def telegraph(k01: float = 1.0e-2, k10: float = 1.0e-1,
             return xf[:, 1]
         if j == 3 and r == 3:
             return xf[:, 2]
-        return jnp.zeros(x.shape[:1])
+        return jnp.full_like(_f(x)[:, 0], 0.0)
 
     m = SensModel(stoich, prop,
                   num_parameters=4,

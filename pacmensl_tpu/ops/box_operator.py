@@ -58,9 +58,27 @@ class BoxOpData(NamedTuple):
 
     ``mask_f``: validity mask over the box, as floats.
     ``bounds``: constraint RHS vector (the sink thresholds).
+    ``sink_idx``/``sink_val``/``sink_rid``: the **sink shell** — per
+    constraint, the flat indices, masked propensity values, and (global)
+    reaction ids of every transition leaving the constraint set.  Sink
+    rows are supported only on the thin boundary shell of the truncated
+    set, so the per-matvec sink derivative reduces over ``[n_c, m_pad]``
+    arrays instead of dense [n, n_c] violation fields (the dense form
+    cost more than the whole stencil).  ``m_pad`` is capacity-laddered so
+    expansion epochs usually reuse compiled programs.
     """
     mask_f: jnp.ndarray
     bounds: jnp.ndarray
+    sink_idx: jnp.ndarray   # [n_c, m_pad] int32 flat box indices
+    sink_val: jnp.ndarray   # [n_c, m_pad] masked propensity a_r(x), 0 = pad
+    sink_rid: jnp.ndarray   # [n_c, m_pad] int32 global reaction index
+
+
+def _shell_ladder(n: int) -> int:
+    c = 256
+    while c < n:
+        c = int(c * 3 / 2)
+    return c
 
 
 class BoxOperator:
@@ -71,7 +89,8 @@ class BoxOperator:
                  space: BoxStateSpace,
                  dtype=None,
                  materialize: bool = False,
-                 enable_reactions: Optional[Sequence[int]] = None):
+                 enable_reactions: Optional[Sequence[int]] = None,
+                 use_pallas="auto"):
         self.model = model
         self.space = space
         self.dtype = dtype or DEFAULT_DTYPE
@@ -86,6 +105,7 @@ class BoxOperator:
         self._shifts = tuple(tuple(int(v) for v in row)
                              for row in model.stoichiometry)
         self._data: Optional[BoxOpData] = None
+        self._shell_eval = None
         self.refresh_data()
 
         if materialize:
@@ -97,16 +117,125 @@ class BoxOperator:
         # would cost n * n_constraints per reaction, and they are pure
         # constraint-function evaluations that XLA fuses for free.
 
+        self._pallas = self._maybe_build_pallas(use_pallas)
+
+    def _maybe_build_pallas(self, use_pallas):
+        """Fused single-pass Pallas kernel for the action (see
+        :mod:`pallas_box`).  'auto' enables it on TPU, f32, box within the
+        VMEM budget; True forces it (interpret mode off-TPU, for tests);
+        False disables."""
+        if use_pallas is False or self.materialize:
+            return None
+        from .pallas_box import PallasBoxKernel, fits_vmem
+        import jax as _jax
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        if use_pallas == "auto":
+            f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            if not (on_tpu and f32 and
+                    fits_vmem(self.shape, self.dtype,
+                              len(self.enable_reactions))):
+                return None
+        def build(components):
+            kern = PallasBoxKernel(
+                self.model.propensity, self.model.stoichiometry,
+                self.shape, self.enable_reactions, dtype=self.dtype,
+                components=components)
+            # fail here (trace-time), not on the first matvec
+            _jax.eval_shape(
+                kern._call,
+                jax.ShapeDtypeStruct((len(self.enable_reactions),),
+                                     self.dtype),
+                jax.ShapeDtypeStruct((self.num_constraints,), jnp.int32),
+                jax.ShapeDtypeStruct(self.shape, self.dtype),
+                jax.ShapeDtypeStruct(self.shape, self.dtype))
+            return kern
+
+        comps = self.space.constraints.components
+        try:
+            return build(comps)
+        except Exception:
+            if comps is None:
+                if use_pallas is True:
+                    raise
+                return None
+        # constraint components that don't trace on coordinate fields:
+        # retry without in-kernel sinks (shell-gather fallback)
+        try:
+            return build(None)
+        except Exception:
+            if use_pallas is True:
+                raise
+            return None
+
     # ------------------------------------------------------------- data
     def refresh_data(self) -> BoxOpData:
         """Snapshot the space's current mask + bounds into the operator
-        data pytree.  Call after every ``space.set_bounds`` (the driver
-        does); shapes are capacity-stable, so downstream jitted programs
-        keep their compiled executables."""
-        self._data = BoxOpData(
-            mask_f=self.space.mask.astype(self.dtype),
-            bounds=jnp.asarray(self.space.constraints.bounds))
+        data pytree (and rebuild the sink shell).  Call after every
+        ``space.set_bounds`` (the driver does); shapes are
+        capacity-stable up to sink-shell ladder growth, so downstream
+        jitted programs usually keep their compiled executables."""
+        mask_f = self.space.mask.astype(self.dtype)
+        bounds = jnp.asarray(self.space.constraints.bounds)
+        sink_idx, sink_val, sink_rid = self._build_sink_shell(mask_f, bounds)
+        self._data = BoxOpData(mask_f=mask_f, bounds=bounds,
+                               sink_idx=sink_idx, sink_val=sink_val,
+                               sink_rid=sink_rid)
         return self._data
+
+    def _build_sink_shell(self, mask_f, bounds):
+        """Extract the boundary shell: per constraint c, every state x with
+        ``x + s_r`` violating c contributes ``a_r(x)·mask(x)`` under
+        reaction r (reference sink-row sparsity,
+        FspMatrixConstrained.cpp:156-241 — the reference stores these as
+        per-rank sequential sink matrices; here they are padded index/value
+        arrays reduced on-device)."""
+        n_c = self.num_constraints
+        per_c = [[] for _ in range(n_c)]
+        # Host-side extraction: one stable jitted evaluation per reaction
+        # then pure numpy — a device-side compaction would compile a fresh
+        # gather program per (reaction, constraint, count), which through
+        # a remote-compile TPU link costs seconds each, every epoch.
+        mask_np = np.asarray(jax.device_get(mask_f)).reshape(-1) != 0
+        if self._shell_eval is None:
+            # compiled for the LOCAL CPU backend (bounds are committed to
+            # the cpu device, steering the jit): compiles are local and
+            # fast, and the result is already host memory
+            def shell_eval(r, bounds):
+                return (self._violation_field(r, bounds) != 0,
+                        self._propensity_field(r).reshape(-1))
+            self._shell_eval = jax.jit(shell_eval, static_argnums=0)
+        cpu = jax.devices("cpu")[0]
+        bounds_cpu = jax.device_put(np.asarray(bounds), cpu)
+        for k, r in enumerate(self.enable_reactions):
+            viol_r, prop_r = self._shell_eval(r, bounds_cpu)
+            viol_np = np.asarray(viol_r)
+            prop_np = np.asarray(prop_r)
+            # shell = VALID states whose target x + s_r violates c (invalid
+            # sources have a·mask = 0 and would only bloat the shell)
+            viol = viol_np & mask_np[:, None]
+            a_m = prop_np * mask_np
+            for c in range(n_c):
+                idx = np.nonzero(viol[:, c])[0]
+                if idx.size == 0:
+                    continue
+                per_c[c].append((idx.astype(np.int32), a_m[idx],
+                                 np.full(idx.size, r, np.int32)))
+        m_max = max((sum(int(i.shape[0]) for i, _, _ in parts)
+                     for parts in per_c), default=0)
+        m_pad = _shell_ladder(max(m_max, 1))
+        sink_idx = np.zeros((n_c, m_pad), np.int32)
+        sink_val = np.zeros((n_c, m_pad), np.float64)
+        sink_rid = np.zeros((n_c, m_pad), np.int32)
+        for c, parts in enumerate(per_c):
+            o = 0
+            for idx, val, rid in parts:
+                m = int(idx.shape[0])
+                sink_idx[c, o:o + m] = idx
+                sink_val[c, o:o + m] = val
+                sink_rid[c, o:o + m] = rid
+                o += m
+        return (jnp.asarray(sink_idx), jnp.asarray(sink_val, self.dtype),
+                jnp.asarray(sink_rid))
 
     def data(self) -> BoxOpData:
         return self._data if self._data is not None else self.refresh_data()
@@ -149,22 +278,39 @@ class BoxOperator:
         mask_f = data.mask_f
         p = y.p
         c = self.model.coefficients(t, self.dtype)
+
+        if self._pallas is not None:
+            c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
+                                self.dtype)
+            dp, ks = self._pallas._call(c_sel, data.bounds, p, mask_f)
+            if ks is not None:
+                return FspVector(p=dp, sinks=ks.astype(y.sinks.dtype))
+            return FspVector(p=dp, sinks=self._shell_sinks(p, c, data, y))
+
+        dsinks = self._shell_sinks(p, c, data, y)
+
         inflow = jnp.zeros_like(p)
         outflow = jnp.zeros_like(p)
-        dsinks = jnp.zeros_like(y.sinks)
-
         for k, r in enumerate(self.enable_reactions):
+
             a_r = (self._prop_fields[k] if self._prop_fields is not None
                    else self._propensity_field(r)) * mask_f
-            viol = self._violation_field(r, data.bounds)
             ap = a_r * p
             inflow = inflow + c[r] * shift_nd(ap, self._shifts[r])
             outflow = outflow + c[r] * ap
-            # sink mass: [1,n] x [n,n_c]
-            dsinks = dsinks + c[r] * (ap.reshape(1, self._n)
-                                      @ viol)[0]
         dp = inflow * mask_f - outflow
         return FspVector(p=dp, sinks=dsinks)
+
+    def _shell_sinks(self, p, c, data: BoxOpData, y: FspVector):
+        """Sink derivative over the boundary shell: gather the few p
+        entries adjacent to each constraint surface and reduce (reference
+        sink matvec, FspMatrixConstrained.cpp:31-64).  Used by the XLA
+        path and as the fallback when constraint components cannot be
+        evaluated in-kernel."""
+        p_flat = p.reshape(self._n)
+        gathered = p_flat.at[data.sink_idx].get()    # [n_c, m_pad]
+        return jnp.sum(data.sink_val * c[data.sink_rid] * gathered,
+                       axis=1).astype(y.sinks.dtype)
 
     def __call__(self, t, y, data=None):
         return self.action(t, y, data)

@@ -1,0 +1,298 @@
+"""Pallas TPU kernel for the dense-box CME operator action (the hot loop).
+
+Single-pass fusion of the stencil part of the truncated-generator matvec
+
+    (A(t) p)_x = sum_r c_r(t) [ a_r(x - s_r) p(x - s_r) - a_r(x) p(x) ]
+
+(reference hot loop ``FspMatrixBase::Action``, src/Matrix/FspMatrixBase.cpp:
+36-62).  The XLA stencil path (:mod:`box_operator`) materializes one
+shifted copy of ``a_r * p`` per reaction (~3 HBM touches of an n-sized
+buffer per reaction); this kernel holds the box in VMEM and touches HBM
+exactly three times total — read ``p``, read the validity mask, write
+``dp`` — the bandwidth floor for a mask-carrying operator.  Sink
+derivatives are computed outside as one fused ``[1,n] x [n,n_c]`` matmul
+(see ``BoxOperator.action``), which reads ``p`` once more.
+
+Design notes (per /opt/skills/guides/pallas_guide.md):
+
+* The N-d box is flattened C-order and viewed as ``[rows, 128]`` — lanes
+  are always full, so no tile-padding waste regardless of box extents.
+* An N-d stencil shift ``x -> x - s`` is a **flat** shift by
+  ``k = sum_d s_d * stride_d``, decomposed into a lane rotate by
+  ``k mod 128`` plus two row rotates (``k // 128`` and ``k // 128 + 1``)
+  selected per lane — a carry-aware circular shift built entirely from
+  ``pltpu.roll``.  Wrap artifacts are zeroed with per-axis coordinate
+  masks (the mixed-radix carry positions are exactly the out-of-box
+  sources).
+* Propensities are **recomputed in-registers** from broadcasted-iota
+  coordinates (zero HBM traffic), by ``jax.vmap``-ing the user's batched
+  ``propensity(states[n, S], r)`` over the row axis so its internals are
+  2-D ``[rows, 128]`` ops — Mosaic-friendly shapes.
+* Time coefficients arrive via SMEM so one compiled kernel serves every
+  expansion epoch at a fixed capacity, like the XLA path.
+
+The kernel is used when the box fits the VMEM budget; callers fall back
+to the XLA stencil path otherwise (`BoxOperator` handles selection).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+#: Box-size budget (bytes of one box-sized f32 buffer) for enabling the
+#: fused kernel.  The kernel keeps ~10 such buffers live (p, mask, inflow,
+#: outflow, propensity, shift temps, coordinate fields), and v5e VMEM is
+#: 128 MB, so 8 MB/buffer is conservative.
+VMEM_BUDGET = int(os.environ.get("PACMENSL_PALLAS_VMEM_BUDGET",
+                                 str(8 * 1024 * 1024)))
+
+
+def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int) -> bool:
+    return _prod(shape) * jnp.dtype(dtype).itemsize <= VMEM_BUDGET
+
+
+class CoordStates:
+    """Duck-typed ``states[n, S]`` view backed by per-species 2-D fields.
+
+    Inside the kernel, materializing a real ``[rows, 128, S]`` coordinate
+    array would tile-pad the minor S axis to 128 lanes (a ~128/S VMEM
+    blowup); this adapter hands the user's batched propensity its columns
+    as clean ``[rows, 128]`` arrays instead.  Propensities that only use
+    column indexing (``x[:, i]``), elementwise math, and ``*_like``
+    constructors trace through unchanged; anything else raises at kernel
+    build time and the operator falls back to the XLA stencil path.
+    """
+
+    def __init__(self, cols):
+        self._cols = list(cols)
+
+    @property
+    def dtype(self):
+        return self._cols[0].dtype
+
+    def astype(self, dt):
+        return CoordStates([c.astype(dt) for c in self._cols])
+
+    def __getitem__(self, key):
+        if (isinstance(key, tuple) and len(key) == 2
+                and isinstance(key[0], slice)
+                and key[0] == slice(None)
+                and isinstance(key[1], int)):
+            return self._cols[key[1]]
+        raise TypeError(
+            f"CoordStates supports only x[:, i] column access, got {key!r}")
+
+    def __len__(self):
+        raise TypeError("CoordStates has no static length; use x[:, i]")
+
+
+class PallasBoxKernel:
+    """Fused single-pass stencil kernel: ``(c, p_box, mask_box) -> dp_box``.
+
+    ``c: [R]`` time coefficients indexed by enabled reaction, arrays in the
+    operator dtype.  Sinks are NOT computed here (see module docstring).
+    """
+
+    def __init__(self,
+                 propensity: Callable,
+                 stoichiometry: np.ndarray,
+                 shape: Tuple[int, ...],
+                 enable_reactions: Sequence[int],
+                 dtype=jnp.float32,
+                 components: Optional[Sequence[Callable]] = None,
+                 interpret: Optional[bool] = None):
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = dtype
+        self.reactions = tuple(int(r) for r in enable_reactions)
+        self.stoich = np.atleast_2d(np.asarray(stoichiometry, np.int64))
+        self.propensity = propensity
+        # per-constraint score callables: when present, sink derivatives
+        # are reduced in-kernel at VPU speed (a TPU gather over the sink
+        # shell costs ~6 ns/element; dense VMEM-resident masked reductions
+        # are far cheaper)
+        self.components = tuple(components) if components else None
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self.interpret = bool(interpret)
+
+        self.n = _prod(self.shape)
+        self.rows = -(-self.n // LANES)           # ceil
+        self.n_pad = self.rows * LANES
+        # C-order strides over the full box (coordinate reconstruction)
+        nd = len(self.shape)
+        self.strides = [
+            _prod(self.shape[d + 1:]) for d in range(nd)]
+        self._call = jax.jit(self._build())
+
+    # ------------------------------------------------------------ pieces
+    def _coords(self):
+        """Per-species coordinate fields [rows, 128] int32, from the flat
+        index ``idx = row * 128 + lane``."""
+        rows = self.rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        idx = row_iota * LANES + lane_iota
+        coords = []
+        for d, sd in enumerate(self.strides):
+            c = idx // sd if sd > 1 else idx
+            coords.append(c % self.shape[d])
+        return coords, lane_iota
+
+    def _roll(self, a, shift, axis):
+        if shift % a.shape[axis] == 0:
+            return a
+        if self.interpret:
+            return jnp.roll(a, shift, axis)
+        return pltpu.roll(a, shift % a.shape[axis], axis)
+
+    def _flat_shift(self, a2, lane_iota, k: int):
+        """Circular flat shift: out[flat] = a[flat - k] on the [rows, 128]
+        view (carry-aware: lane rotate + per-lane choice of two row
+        rotates)."""
+        if k == 0:
+            return a2
+        k1, k2 = k // LANES, k % LANES            # floor div: 0 <= k2 < 128
+        b = self._roll(a2, k2, axis=1)
+        lo = self._roll(b, k1, axis=0)            # lanes >= k2
+        hi = self._roll(b, k1 + 1, axis=0)        # lanes <  k2 (carry)
+        if k2 == 0:
+            return lo
+        return jnp.where(lane_iota >= k2, lo, hi)
+
+    def _shift(self, ap, coords, lane_iota, s):
+        """out[x] = ap[x - s] with zero fill outside the box."""
+        k = int(sum(int(s[d]) * self.strides[d] for d in range(len(s))))
+        out = self._flat_shift(ap, lane_iota, k)
+        valid = None
+        for d in range(len(s)):
+            sd = int(s[d])
+            if sd == 0:
+                continue
+            src = coords[d] - sd
+            ok = (src >= 0) & (src < self.shape[d])
+            valid = ok if valid is None else (valid & ok)
+        if valid is not None:
+            out = jnp.where(valid, out, jnp.zeros((), self.dtype))
+        return out
+
+    # ------------------------------------------------------------- build
+    def _build(self):
+        rows = self.rows
+        dtype = self.dtype
+        R = len(self.reactions)
+        nd = len(self.shape)
+        comps = self.components
+        n_c = len(comps) if comps is not None else 0
+
+        def kernel(c_ref, bounds_ref, p_ref, mask_ref, dp_ref, dsinks_ref):
+            p = p_ref[:]
+            mask = mask_ref[:]
+            coords, lane_iota = self._coords()
+            x_view = CoordStates([ci.astype(dtype) for ci in coords])
+
+            acc = jnp.zeros((rows, LANES), dtype)
+            sink_acc = [jnp.zeros((), dtype) for _ in range(n_c)]
+            for k, r in enumerate(self.reactions):
+                c_r = c_ref[0, k]
+                a_r = jnp.asarray(self.propensity(x_view, r))
+                ap = a_r.astype(dtype) * mask * p
+                s = self.stoich[r]
+                inflow = self._shift(ap, coords, lane_iota, s)
+                acc = acc + c_r * (inflow * mask - ap)
+                if comps is not None:
+                    # sinks: mass flowing to targets x + s_r that violate
+                    # constraint cc, one dense masked reduction each
+                    # (reference FspMatrixConstrained sink semantics incl.
+                    # multi-counting across violated constraints)
+                    tgt_view = CoordStates(
+                        [coords[d].astype(dtype) + float(s[d])
+                         for d in range(nd)])
+                    for cc in range(n_c):
+                        v = jnp.asarray(comps[cc](tgt_view)).astype(dtype)
+                        viol = v > bounds_ref[0, cc].astype(dtype)
+                        sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
+                            jnp.where(viol, ap, jnp.zeros((), dtype)))
+            dp_ref[:] = acc
+            for cc in range(n_c):
+                dsinks_ref[0, cc] = sink_acc[cc]
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # c  (1, R)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds (1, n_c)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # p  (rows, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((rows, LANES), dtype),
+            jax.ShapeDtypeStruct((1, max(n_c, 1)), dtype),
+        )
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        itemsize = jnp.dtype(dtype).itemsize
+        cost = pl.CostEstimate(
+            flops=2 * (2 * R + 1 + R * n_c) * rows * LANES,
+            bytes_accessed=3 * rows * LANES * itemsize,
+            transcendentals=R * rows * LANES)
+
+        def kernel_entry(c_ref, bounds_ref, p_ref, mask_ref,
+                         dp_ref, dsinks_ref):
+            kernel(c_ref, bounds_ref, p_ref, mask_ref, dp_ref, dsinks_ref)
+            if n_c == 0:
+                dsinks_ref[0, 0] = jnp.zeros((), dtype)
+
+        call = pl.pallas_call(
+            kernel_entry,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            cost_estimate=cost,
+            # the unrolled reaction loop keeps ~10 box-sized buffers live;
+            # the default 16 MB scoped limit under-serves v5e's 128 MB VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )
+
+        n, n_pad = self.n, self.n_pad
+
+        def pad2(x):
+            flat = x.reshape(n)
+            if n_pad != n:
+                flat = jnp.pad(flat, (0, n_pad - n))
+            return flat.reshape(rows, LANES)
+
+        def fn(c, bounds, p_box, mask_box):
+            c2 = jnp.asarray(c, dtype).reshape(1, R)
+            b2 = jnp.asarray(bounds, jnp.int32).reshape(1, -1) \
+                if n_c else jnp.zeros((1, 1), jnp.int32)
+            dp2, dsinks = call(c2, b2, pad2(p_box.astype(dtype)),
+                               pad2(mask_box.astype(dtype)))
+            dp = dp2.reshape(n_pad)[:n].reshape(self.shape)
+            return dp, (dsinks.reshape(-1) if n_c else None)
+
+        return fn
+
+    @property
+    def has_sinks(self) -> bool:
+        return self.components is not None
+
+    def __call__(self, c, bounds, p_box, mask_box):
+        return self._call(c, bounds, p_box, mask_box)

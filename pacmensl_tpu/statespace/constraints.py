@@ -38,6 +38,20 @@ class ConstraintSet:
                  expansion_factors=None,
                  num_species: Optional[int] = None):
         self.fn = fn
+        # Per-constraint component callables (each (states[n,S]) -> [n]).
+        # Used by the fused Pallas kernel to evaluate constraints one at a
+        # time on 2-D coordinate fields (stacked [n, n_c] outputs would
+        # tile-pad the minor axis).  Sources: the default coordinate-wise
+        # constraints synthesize column getters; custom fns may carry a
+        # ``components`` attribute (the bundled models do).  None = the
+        # kernel computes sinks via the shell-gather fallback.
+        if fn is None:
+            nb = len(np.asarray(bounds).reshape(-1))
+            self.components = tuple(
+                (lambda x, _d=d: x[:, _d]) for d in range(nb))
+        else:
+            comps = getattr(fn, "components", None)
+            self.components = tuple(comps) if comps is not None else None
         self._values_jit = None
         self._sat_jit = None
         self._all_sat_jit = None
