@@ -271,9 +271,14 @@ class FspSolverMultiSinks:
             # use the XLA stencil path (GSPMD splits its shifts over ICI)
             pallas_mode = False if self.mesh is not None \
                 else self._pallas_mode
+            # carry the sink-shell padding floor through rebuilds so the
+            # shell arrays keep monotone shapes (fewer re-jits)
+            floor = getattr(self._operator, "sink_m_pad", 0) \
+                if self._operator is not None else 0
             self._operator = BoxOperator(self.model, self._space,
                                          dtype=self.dtype,
-                                         use_pallas=pallas_mode)
+                                         use_pallas=pallas_mode,
+                                         sink_m_floor=floor)
         else:
             self._operator = EllOperator(self.model, self._space,
                                          dtype=self.dtype)
@@ -341,7 +346,7 @@ class FspSolverMultiSinks:
                             stop_check=stop_check, dtype=self.dtype)
         raise SetupError(f"unsupported ODE solver type {self.odes_type}")
 
-    def _expand(self, to_expand: np.ndarray):
+    def _expand(self, to_expand: np.ndarray, rounds: int = 1):
         """Grow flagged bounds, scatter the solution — and rebuild the
         operator only if the array capacity actually grew (reference
         Advance_ expansion block, :114-211; the reference rebuilds its
@@ -349,6 +354,9 @@ class FspSolverMultiSinks:
         an XLA recompile is seconds, so here bound growth within capacity
         only updates the operator *data*)."""
         new_bounds = self.constraints.expanded_bounds(to_expand)
+        for _ in range(rounds - 1):      # escalated growth (thrash guard)
+            new_bounds = self.constraints.with_bounds(
+                new_bounds).expanded_bounds(to_expand)
         if self.verbosity:
             print(f"[fsp] t = {self._t_now:.4g}: expanding to bounds "
                   f"{new_bounds.tolist()}")
@@ -429,7 +437,19 @@ class FspSolverMultiSinks:
                 if hasattr(self._operator, "data") else None)
 
     def _advance(self, t_final: float, fsp_tol: float) -> None:
-        """The solve/check/expand loop (reference Advance_)."""
+        """The solve/check/expand loop (reference Advance_).
+
+        Expansion escalation: the reference grows flagged bounds by a
+        fixed factor per epoch (FspSolverMultiSinks.cpp:116-123), which at
+        small t (where the pro-rated sink budget is near zero) causes long
+        runs of epochs that advance time negligibly.  Those epochs cost
+        the reference only a PETSc matrix rebuild, but cost this build an
+        XLA recompile whenever array capacities change — so consecutive
+        barely-progressing epochs compound the growth formula (up to 4x),
+        collapsing the thrash phase.  The FSP truncation guarantee is
+        growth-schedule independent."""
+        t_start = self._t_now
+        rapid = 0
         with self.events.timed(EVT_TOTAL):
             status = STATUS_FSP_STOP
             solver_key = (fsp_tol, t_final)
@@ -473,7 +493,14 @@ class FspSolverMultiSinks:
                     to_expand = viol >= 0.0
                     if not to_expand.any():
                         to_expand[np.argmax(viol)] = True
-                    self._expand(to_expand)
+                    t_before = getattr(self, "_t_prev_epoch", t_start)
+                    if self._t_now - t_before < \
+                            0.01 * max(t_final - t_start, 1e-300):
+                        rapid += 1
+                    else:
+                        rapid = 0
+                    self._t_prev_epoch = self._t_now
+                    self._expand(to_expand, rounds=min(1 + rapid, 4))
 
     def solve(self, t_final: float, fsp_tol: float = 1.0e-4,
               t_init: float = 0.0) -> DiscreteDistribution:

@@ -90,7 +90,8 @@ class BoxOperator:
                  dtype=None,
                  materialize: bool = False,
                  enable_reactions: Optional[Sequence[int]] = None,
-                 use_pallas="auto"):
+                 use_pallas="auto",
+                 sink_m_floor: int = 0):
         self.model = model
         self.space = space
         self.dtype = dtype or DEFAULT_DTYPE
@@ -106,6 +107,11 @@ class BoxOperator:
                              for row in model.stoichiometry)
         self._data: Optional[BoxOpData] = None
         self._shell_eval = None
+        # Monotone sink-shell padding: the padded shell width only ever
+        # grows (and callers pass the previous operator's value through
+        # rebuilds), so within-capacity expansion epochs keep the shapes
+        # of BoxOpData stable and downstream jitted programs compiled.
+        self.sink_m_pad = int(sink_m_floor)
         self.refresh_data()
 
         if materialize:
@@ -222,7 +228,8 @@ class BoxOperator:
                                  np.full(idx.size, r, np.int32)))
         m_max = max((sum(int(i.shape[0]) for i, _, _ in parts)
                      for parts in per_c), default=0)
-        m_pad = _shell_ladder(max(m_max, 1))
+        self.sink_m_pad = max(_shell_ladder(max(m_max, 1)), self.sink_m_pad)
+        m_pad = self.sink_m_pad
         sink_idx = np.zeros((n_c, m_pad), np.int32)
         sink_val = np.zeros((n_c, m_pad), np.float64)
         sink_rid = np.zeros((n_c, m_pad), np.int32)

@@ -97,10 +97,13 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
             s=jnp.asarray(s, self.dtype).reshape((n_par,) + shape),
             ssinks=jnp.zeros((n_par, n_c), self.dtype))
 
-    def _expand(self, to_expand: np.ndarray):
+    def _expand(self, to_expand: np.ndarray, rounds: int = 1):
         """Expand p and every sensitivity with the same map (reference
         SensFspSolverMultiSinks.cpp:371-402)."""
         new_bounds = self.constraints.expanded_bounds(to_expand)
+        for _ in range(rounds - 1):      # escalated growth (thrash guard)
+            new_bounds = self.constraints.with_bounds(
+                new_bounds).expanded_bounds(to_expand)
         if self.verbosity:
             print(f"[sensfsp] t = {self._t_now:.4g}: expanding to "
                   f"{new_bounds.tolist()}")
