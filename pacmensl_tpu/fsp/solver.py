@@ -465,13 +465,25 @@ class FspSolverMultiSinks:
                     # already-lost sink mass beyond the pro-rated budget
                     # at epoch start — forgiven by the stop-check (see
                     # _make_ode_solver); zeros in the benign regime.
+                    # The slack term keeps the resumed excess strictly
+                    # negative: without it, a sink whose excess was exactly
+                    # forgiven sits at 0 and compute-dtype rounding can
+                    # re-trip the stop on the very first step, freezing t
+                    # while expansion escalation inflates the space without
+                    # bound (observed on TPU f32 until HBM OOM).  The slack
+                    # loosens the certified bound by at most 1e-3 * fsp_tol
+                    # plus a few ulps of the sink scale.
                     n_sinks = self.constraints.num_constraints
                     sinks_now = np.asarray(jax.device_get(self._y.sinks),
                                            np.float64)
+                    excess_now = (sinks_now * n_sinks -
+                                  fsp_tol * (self._t_now / t_final))
+                    eps = float(np.finfo(np.dtype(self.dtype)).eps)
+                    slack = (64.0 * eps * np.maximum(np.abs(sinks_now)
+                                                     * n_sinks, fsp_tol)
+                             + 1.0e-3 * fsp_tol / n_sinks)
                     forgiven = jnp.asarray(
-                        np.maximum(0.0, sinks_now * n_sinks -
-                                   fsp_tol * (self._t_now / t_final)),
-                        self.dtype)
+                        np.maximum(0.0, excess_now) + slack, self.dtype)
                 else:
                     forgiven = None
                 with self.events.timed(EVT_ODESOLVE):

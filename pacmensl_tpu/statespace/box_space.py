@@ -20,6 +20,7 @@ states).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -82,6 +83,13 @@ def _round_capacity(n: int, quantum: int = 1) -> int:
     c = _ladder(int(n))
     q = int(quantum)
     return -(-c // q) * q
+
+
+#: Hard cap on box-backend capacity (elements).  A runaway expansion should
+#: fail with a diagnosable StateSpaceError, not an opaque device OOM — the
+#: Krylov integrator keeps ~m_max basis vectors alive, so usable box sizes
+#: are well below raw-HBM/4B anyway.
+MAX_BOX_ELEMS = int(float(os.environ.get("PACMENSL_MAX_BOX_ELEMS", "3e8")))
 
 
 class BoxStateSpace:
@@ -179,6 +187,15 @@ class BoxStateSpace:
                     raw_shape,
                     self._shape or (0,) * len(raw_shape),
                     self.pad_quanta))
+            new_size = int(np.prod(np.asarray(new_shape, np.float64)))
+            if new_size > MAX_BOX_ELEMS:
+                raise StateSpaceError(
+                    f"FSP box capacity {new_shape} = {new_size:.3g} states "
+                    f"exceeds the box-backend budget ({MAX_BOX_ELEMS:.3g}; "
+                    "env PACMENSL_MAX_BOX_ELEMS). The truncated set no "
+                    "longer fits a dense box — use the compressed backend "
+                    "(FspSolverMultiSinks(backend='ell')), tighten the "
+                    "constraints, or raise the budget.")
             self._shape = new_shape
             self._mask_builder = self._make_mask_builder(new_shape)
 
