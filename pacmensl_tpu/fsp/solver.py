@@ -279,6 +279,12 @@ class FspSolverMultiSinks:
                                          dtype=self.dtype,
                                          use_pallas=pallas_mode,
                                          sink_m_floor=floor)
+        elif self.mesh is not None:
+            # explicit halo-exchange SpMV (the reference's VecScatter plan,
+            # rebuilt per epoch like its matrices)
+            from ..parallel.halo_ell import ShardedEllOperator
+            self._operator = ShardedEllOperator(self.model, self._space,
+                                                self.mesh, dtype=self.dtype)
         else:
             self._operator = EllOperator(self.model, self._space,
                                          dtype=self.dtype)

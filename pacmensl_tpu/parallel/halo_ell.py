@@ -1,0 +1,188 @@
+"""Halo-exchange sharded ELL operator (shard_map + all_to_all).
+
+The reference's distributed SpMV (PETSc ``MatMult`` on MPISELL matrices,
+``src/Matrix/FspMatrixBase.cpp:36-62``) hides a *halo exchange*: before the
+local sparse matvec, a ``VecScatter`` ships exactly the off-process vector
+entries each rank's off-diagonal block touches.  The plain
+:class:`~pacmensl_tpu.ops.ell_operator.EllOperator` under GSPMD instead
+lowers its gather to an **all-gather** of the whole probability vector —
+correct, but O(n) bytes per device per matvec.  This module restores the
+reference's communication volume on TPU:
+
+* the state axis is block-partitioned over a 1-D device mesh (the
+  reference's contiguous row partition, ``StateSetBase.h:133-144``);
+* at assembly time the per-reaction source indices are classified
+  local/remote, and per device-pair *request lists* are extracted — the
+  moral equivalent of PETSc's VecScatter plan;
+* the hot loop runs under ``shard_map``: each device gathers the values its
+  neighbors asked for, one ``lax.all_to_all`` swaps them over ICI, and the
+  local ELL matvec reads from ``concat(local p, received halo)`` with a
+  single unified gather.  Sink contributions are computed on local rows and
+  ``psum``-reduced (the reference's sink VecScatter-add,
+  ``FspMatrixConstrained.cpp:31-64``).
+
+Communication per matvec: O(D * S) values (S = max per-pair halo size)
+instead of O(n_pad) — for the CME's stencil structure under a contiguous
+(or RCM-ordered, see the GRAPH partitioner) layout, S is a thin boundary
+band, so bytes-on-ICI scale with the *surface* of each shard, not its
+volume, exactly like the reference's MPI halos.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:                                     # jax >= 0.6
+    from jax import shard_map as _shard_map
+except ImportError:                      # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..sys.environment import STATE_AXIS
+from ..models.model import Model
+from ..statespace.state_set import StateSet
+from ..ops.ell_operator import EllOperator
+from ..ops.vecops import FspVector
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ShardedEllOperator(EllOperator):
+    """ELL CME operator with explicit halo exchange over a 1-D mesh."""
+
+    def __init__(self,
+                 model: Model,
+                 state_set: StateSet,
+                 mesh: Mesh,
+                 dtype=None,
+                 enable_reactions: Optional[Sequence[int]] = None):
+        self.mesh = mesh
+        self._D = int(mesh.devices.size)
+        # per-shard length divisible by the 128-lane register width
+        super().__init__(model, state_set, dtype=dtype,
+                         pad_to=128 * self._D,
+                         enable_reactions=enable_reactions)
+        self._build_shards()
+
+    # --------------------------------------------------------- shard plan
+    def _build_shards(self):
+        """Derive the VecScatter-equivalent exchange plan (host, assembly
+        time — never in the hot loop, SURVEY.md §7 hard part (c))."""
+        D = self._D
+        L = self.n_pad // D
+        self.shard_len = L
+        src = np.asarray(jax.device_get(self.src_idx))      # [R, n_pad]
+        off = np.asarray(jax.device_get(self.off_val))
+        R = src.shape[0]
+
+        owner = src // L
+        used = off != 0.0
+        # request lists: reqs[d][o] = sorted unique global indices shard d
+        # needs from shard o (o != d)
+        reqs = [[np.zeros(0, np.int64)] * D for _ in range(D)]
+        s_max = 1
+        for d in range(D):
+            sl = slice(d * L, (d + 1) * L)
+            src_d, own_d, use_d = src[:, sl], owner[:, sl], used[:, sl]
+            for o in range(D):
+                if o == d:
+                    continue
+                g = np.unique(src_d[use_d & (own_d == o)])
+                reqs[d][o] = g
+                s_max = max(s_max, g.size)
+        S = _round_up(s_max, 8)
+        self.halo_width = S
+
+        # send plan: on device o, send[e] = p_local[send_idx[o, e]]
+        send_idx = np.zeros((D, D, S), np.int32)
+        for d in range(D):
+            for o in range(D):
+                g = reqs[d][o]
+                send_idx[o, d, :g.size] = (g - o * L).astype(np.int32)
+
+        # unified gather index into concat(p_local [L], halo [D*S])
+        src_uni = np.zeros((D, R, L), np.int32)
+        for d in range(D):
+            sl = slice(d * L, (d + 1) * L)
+            src_d, own_d, use_d = src[:, sl], owner[:, sl], used[:, sl]
+            uni = np.zeros((R, L), np.int64)
+            local = use_d & (own_d == d)
+            uni[local] = src_d[local] - d * L
+            for o in range(D):
+                if o == d or reqs[d][o].size == 0:
+                    continue
+                m = use_d & (own_d == o)
+                pos = np.searchsorted(reqs[d][o], src_d[m])
+                uni[m] = L + o * S + pos
+            src_uni[d] = uni
+
+        # local slices of the ELL data, leading axis = shard
+        def shardify(a):                                    # [R, n_pad] ->
+            return np.ascontiguousarray(                    # [D, R, L]
+                np.asarray(a).reshape(a.shape[0], D, L).transpose(1, 0, 2))
+
+        row = NamedSharding(self.mesh, P(STATE_AXIS))
+        put = partial(jax.device_put, device=row)
+        self.sh_send_idx = put(jnp.asarray(send_idx))
+        self.sh_src_uni = put(jnp.asarray(src_uni))
+        self.sh_off = put(jnp.asarray(
+            shardify(np.asarray(jax.device_get(self.off_val))), self.dtype))
+        self.sh_diag = put(jnp.asarray(
+            shardify(np.asarray(jax.device_get(self.diag_val))), self.dtype))
+        self.sh_bits = put(jnp.asarray(
+            shardify(np.asarray(jax.device_get(self.sink_bits)))))
+
+        n_c = self.num_constraints
+        dtype = self.dtype
+
+        def local_mv(c, p_loc, send_ix, src_u, off_l, diag_l, bits_l):
+            send_ix = send_ix[0]            # [D, S]
+            src_u, off_l = src_u[0], off_l[0]
+            diag_l, bits_l = diag_l[0], bits_l[0]
+            # halo exchange: one all_to_all carries every pairwise list
+            send = p_loc[send_ix]                         # [D, S]
+            recv = lax.all_to_all(send, STATE_AXIS, 0, 0, tiled=True)
+            ext = jnp.concatenate([p_loc, recv.reshape(-1)])
+            gathered = off_l * ext[src_u]                 # [R, L]
+            dp = c @ gathered - p_loc * (c @ diag_l)
+            # sink rows on local states, reduced over the mesh
+            bit = jnp.arange(n_c, dtype=jnp.uint32)
+            viol = ((bits_l[:, None, :] >> bit[None, :, None]) & 1
+                    ).astype(dtype)
+            weighted = (c[:, None, None] * diag_l[:, None, :]) * viol
+            ds = jnp.tensordot(weighted, p_loc, axes=([2], [0])).sum(axis=0)
+            ds = lax.psum(ds, STATE_AXIS)
+            return dp, ds
+
+        self._smapped = _shard_map(
+            local_mv, mesh=self.mesh,
+            in_specs=(P(), P(STATE_AXIS), P(STATE_AXIS), P(STATE_AXIS),
+                      P(STATE_AXIS), P(STATE_AXIS), P(STATE_AXIS)),
+            out_specs=(P(STATE_AXIS), P()))
+
+    # ------------------------------------------------------------ action
+    def action(self, t, y: FspVector) -> FspVector:
+        c_full = self.model.coefficients(t, self.dtype)
+        c = jnp.asarray([c_full[r] for r in self.enable_reactions])
+        dp, dsinks = self._smapped(c, y.p, self.sh_send_idx, self.sh_src_uni,
+                                   self.sh_off, self.sh_diag, self.sh_bits)
+        return FspVector(p=dp, sinks=dsinks.astype(y.sinks.dtype))
+
+    def zero_vector(self) -> FspVector:
+        row = NamedSharding(self.mesh, P(STATE_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        return FspVector(
+            p=jax.device_put(jnp.zeros((self.n_pad,), self.dtype), row),
+            sinks=jax.device_put(jnp.zeros((self.num_constraints,),
+                                           self.dtype), rep))
+
+    def comm_values_per_matvec(self) -> int:
+        """Values crossing ICI per matvec (for the scaling report)."""
+        return self._D * self._D * self.halo_width

@@ -65,3 +65,40 @@ def test_sharded_fsp_solve_matches_single(backend):
     np.testing.assert_allclose(d8.p, d1.p, rtol=1e-12, atol=1e-16)
     err = np.abs(d8.p - poisson_law.pmf(d8.states[:, 0], 20.0)).sum()
     assert err <= 1e-6
+
+
+def test_halo_ell_matches_single_device():
+    """The shard_map halo-exchange ELL matvec (explicit all_to_all plan,
+    the reference's VecScatter halo) must equal the single-device ELL
+    operator exactly."""
+    from pacmensl_tpu.parallel.halo_ell import ShardedEllOperator
+    from pacmensl_tpu.ops.ell_operator import EllOperator
+    from pacmensl_tpu.statespace.state_set import StateSet
+
+    b = pm.models.toggle()
+    cs = ConstraintSet(b.constraint, b.bounds, b.expansion_factors)
+    ss = StateSet(b.model.stoichiometry, cs, init_states=b.x0)
+    ss.expand()
+    mesh = make_mesh(8)
+    op1 = EllOperator(b.model, ss)
+    op8 = ShardedEllOperator(b.model, ss, mesh)
+    # surface-not-volume communication: the halo is a thin band
+    assert op8.halo_width < op8.shard_len
+
+    rng = np.random.default_rng(1)
+    vals = rng.random(ss.num_states)
+    p1 = np.zeros(op1.n_pad)
+    p1[:ss.num_states] = vals
+    p8 = np.zeros(op8.n_pad)
+    p8[:ss.num_states] = vals
+    y1 = FspVector(p=jnp.asarray(p1), sinks=jnp.zeros(cs.num_constraints))
+    y8 = op8.zero_vector()
+    y8 = FspVector(p=y8.p + jnp.asarray(p8), sinks=y8.sinks)
+
+    d1 = jax.jit(op1.action)(0.5, y1)
+    d8 = jax.jit(op8.action)(0.5, y8)
+    n = ss.num_states
+    np.testing.assert_allclose(np.asarray(d8.p)[:n], np.asarray(d1.p)[:n],
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(d8.sinks), np.asarray(d1.sinks),
+                               rtol=1e-12, atol=1e-14)
