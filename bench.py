@@ -1,13 +1,18 @@
 """Benchmark: FSP SpMV throughput on the repressilator benchmark model.
 
 Measures the hot kernel of every FSP solve — the truncated CME operator
-action (the SpMV analogue of the reference's FspMatrixConstrained::Action)
-— on the repressilator model at its grown benchmark state space
-(reference examples/repressilator.cpp: t_final=10, fsp_tol=1e-4).
+action (the SpMV analogue of the reference's FspMatrixConstrained::Action,
+``src/Matrix/FspMatrixBase.cpp:36-62``) — on the repressilator model
+(reference ``examples/repressilator.cpp``) at a fixed benchmark-sized
+state space (~2.1M states, the scale the reference's t_final=10 solve
+grows to).  The space is built at *fixed bounds* so the benchmark is
+deterministic and cheap to set up: running the full solve→expand loop
+first would re-measure compile latency through the device tunnel, not
+SpMV throughput.
 
-Baseline: the same operator as per-reaction scipy CSR matrices on the host
-CPU — structurally the reference's stored-SELL single-rank hot loop
-(pacmensl publishes no numbers in-repo; BASELINE.md mandates regeneration).
+Baseline: the same operator as a scipy CSR matrix on the host CPU —
+structurally the reference's stored-SELL single-rank hot loop (pacmensl
+publishes no numbers in-repo; BASELINE.md mandates regeneration).
 ``vs_baseline`` = our nnz/s divided by the CSR-on-CPU nnz/s.
 
 Timing protocol: matvecs are chained inside one jitted ``lax.fori_loop``
@@ -16,9 +21,14 @@ two-point K-slope, because each RPC through the TPU tunnel carries ~25 ms
 fixed latency that would otherwise swamp per-matvec numbers.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
-Env knobs: PACMENSL_BENCH_DTYPE=f32|f64 (default f32 — the TPU-native
-dtype; the reference's f64 numerics remain available for CPU parity),
-PACMENSL_BENCH_ITERS.
+Env knobs:
+  PACMENSL_BENCH_DTYPE=f32|f64   (default f32 — the TPU-native dtype)
+  PACMENSL_BENCH_ITERS=K         (default 24; chained loop sizes K, 4K)
+  PACMENSL_BENCH_BOUND=B         (default 127; coordinate bound per species)
+  PACMENSL_BENCH_SOLVE=1         also run + log the end-to-end FSP solve
+                                 (stderr only; off by default — expansion
+                                 epochs recompile, which measures the
+                                 tunnel's compile latency, not the chip)
 """
 import json
 import os
@@ -42,46 +52,36 @@ def main():
     from jax import lax
     import pacmensl_tpu as pm
     from pacmensl_tpu.ops.box_operator import BoxOperator
-    from pacmensl_tpu.ops.ell_operator import EllOperator
     from pacmensl_tpu.ops.vecops import FspVector
     from pacmensl_tpu.statespace.box_space import BoxStateSpace
-    from pacmensl_tpu.statespace.state_set import StateSet
     from pacmensl_tpu.statespace.constraints import ConstraintSet
 
     dtype = (jnp.float64 if os.environ.get("PACMENSL_BENCH_DTYPE") == "f64"
              else jnp.float32)
-    k_lo = int(os.environ.get("PACMENSL_BENCH_ITERS", "40"))
+    k_lo = int(os.environ.get("PACMENSL_BENCH_ITERS", "24"))
     k_hi = 4 * k_lo
+    bound = int(os.environ.get("PACMENSL_BENCH_BOUND", "127"))
+    t_all = time.perf_counter()
     log(f"devices: {jax.devices()}  dtype: {dtype.__name__}")
 
     b = pm.models.repressilator()
 
-    # --- 1) end-to-end FSP solve (reference benchmark config) ------------
-    def run_solve():
-        s = pm.FspSolverMultiSinks(backend="box", odes_type="krylov",
-                                   dtype=dtype)
-        s.set_model(b.model)
-        s.set_constraint_functions(b.constraint)
-        s.set_initial_bounds(b.bounds)
-        s.set_expansion_factors(b.expansion_factors)
-        s.set_initial_distribution(b.x0, b.p0)
-        t0 = time.perf_counter()
-        d = s.solve(10.0, 1.0e-4)
-        return d, time.perf_counter() - t0
-
-    d, wall_cold = run_solve()
-    d, wall_warm = run_solve()      # compile-cached
-    log(f"repressilator solve: n_states={d.num_states} "
-        f"bounds={d.bounds.tolist()} mass={d.sum():.6f} "
-        f"wall cold={wall_cold:.2f}s warm={wall_warm:.2f}s")
-
-    # --- 2) SpMV throughput at the final state space ---------------------
-    cs = ConstraintSet(b.constraint, d.bounds, b.expansion_factors)
+    # --- benchmark state space at fixed bounds ---------------------------
+    # Hyper-rectangle variant of the reference benchmark (its examples run
+    # both custom-constraint and hyper-rectangle stages,
+    # examples/repressilator.cpp:120-128).  (bound+1)^3 states.
+    bench_bounds = np.array([bound, bound, bound], dtype=np.int64)
+    cs = ConstraintSet(None, bench_bounds,
+                       np.full(3, 0.2))
     space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
     op = BoxOperator(b.model, space, dtype=dtype)
-    log(f"pallas kernel: {op._pallas is not None}")
+    log(f"space: shape={space.shape} n={space.num_states} "
+        f"pallas={op._pallas is not None} "
+        f"[setup {time.perf_counter()-t_all:.1f}s]")
+
     rng = np.random.default_rng(0)
     p = rng.random(space.shape) * np.asarray(jax.device_get(op.mask_f))
+    p /= p.sum()
     y = FspVector(p=jnp.asarray(p, dtype),
                   sinks=jnp.zeros((space.num_constraints,), dtype))
     data = op.data()
@@ -97,48 +97,74 @@ def main():
     ts = {}
     for K in (k_lo, k_hi):
         f = chained(K)
+        t0 = time.perf_counter()
         jax.device_get(f(y))                        # compile + warm
+        log(f"K={K}: compile+run {time.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
         jax.device_get(f(y))
         ts[K] = time.perf_counter() - t0
+        log(f"K={K}: steady {ts[K]:.3f}s")
     dt = max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
     nnz = op.nnz()
     ours = nnz / dt
     log(f"TPU/box SpMV: n={space.num_states} nnz={nnz} "
         f"{dt*1e6:.1f} us/matvec -> {ours/1e9:.3f} Gnnz/s")
 
-    # --- 3) reference-equivalent baseline: scipy CSR on host CPU ---------
+    # --- reference-equivalent baseline: scipy CSR on host CPU ------------
+    # Built directly from the box enumeration (vectorized) — same sparsity
+    # as the reference's per-reaction SELL assembly (column = index of
+    # x - s_r, off-diag value = prop(x - s_r), diag = -sum prop(x)).
     import scipy.sparse as sp
-    ss = StateSet(b.model.stoichiometry, cs, init_states=b.x0)
-    ss.expand()
-    eop = EllOperator(b.model, ss, dtype=jnp.float64)
-    src = np.asarray(jax.device_get(eop.src_idx))
-    off = np.asarray(jax.device_get(eop.off_val))
-    dia = np.asarray(jax.device_get(eop.diag_val))
-    n = ss.num_states
+    shape = tuple(int(s) for s in space.shape)
+    n = int(np.prod(shape))
+    grid = np.indices(shape).reshape(len(shape), -1).T  # [n, N] states
+    strides = np.array([int(np.prod(shape[i + 1:]))
+                        for i in range(len(shape))], dtype=np.int64)
+    stoich = np.asarray(b.model.stoichiometry)
     rows_l, cols_l, vals_l = [], [], []
-    for k in range(src.shape[0]):
-        ok = off[k, :n] != 0
-        rows_l.append(np.nonzero(ok)[0])
-        cols_l.append(src[k, :n][ok])
-        vals_l.append(off[k, :n][ok])
-        rows_l.append(np.arange(n))
-        cols_l.append(np.arange(n))
-        vals_l.append(-dia[k, :n])
+    diag = np.zeros(n)
+    for r in range(stoich.shape[0]):
+        rate = np.asarray(jax.device_get(
+            b.model.propensity(jnp.asarray(grid), r)), np.float64)
+        diag -= rate                                  # outflow from x
+        dest = grid + stoich[r]                       # x -> x + s_r
+        ok = ((dest >= 0) & (dest <= bench_bounds)).all(axis=1)
+        rows_l.append((dest[ok] * strides).sum(axis=1))
+        cols_l.append(np.nonzero(ok)[0])
+        vals_l.append(rate[ok])
+    rows_l.append(np.arange(n))
+    cols_l.append(np.arange(n))
+    vals_l.append(diag)
     A = sp.csr_matrix((np.concatenate(vals_l),
                        (np.concatenate(rows_l), np.concatenate(cols_l))),
                       shape=(n, n))
     v = rng.random(n)
     A @ v
-    iters = max(k_lo, 10)
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        v2 = A @ v
+        A @ v
     base_dt = (time.perf_counter() - t0) / iters
     base = A.nnz / base_dt
     log(f"CPU/CSR SpMV baseline: nnz={A.nnz} {base_dt*1e6:.1f} us/matvec "
         f"-> {base/1e9:.3f} Gnnz/s")
 
+    # --- optional: end-to-end solve (reference benchmark config) ---------
+    if os.environ.get("PACMENSL_BENCH_SOLVE") == "1":
+        s = pm.FspSolverMultiSinks(backend="box", odes_type="krylov",
+                                   dtype=dtype)
+        s.set_model(b.model)
+        s.set_constraint_functions(b.constraint)
+        s.set_initial_bounds(b.bounds)
+        s.set_expansion_factors(b.expansion_factors)
+        s.set_initial_distribution(b.x0, b.p0)
+        t0 = time.perf_counter()
+        d = s.solve(10.0, 1.0e-4)
+        log(f"repressilator solve: n_states={d.num_states} "
+            f"bounds={d.bounds.tolist()} mass={d.sum():.6f} "
+            f"wall={time.perf_counter()-t0:.2f}s")
+
+    log(f"total bench wall: {time.perf_counter()-t_all:.1f}s")
     print(json.dumps({
         "metric": "repressilator_spmv_nnz_per_s",
         "value": round(ours, 1),
