@@ -139,7 +139,9 @@ class BoxOperator:
             f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
             if not (on_tpu and f32 and
                     fits_vmem(self.shape, self.dtype,
-                              len(self.enable_reactions))):
+                              len(self.enable_reactions),
+                              stoichiometry=self.model.stoichiometry,
+                              enable_reactions=self.enable_reactions)):
                 return None
         def build(components):
             kern = PallasBoxKernel(

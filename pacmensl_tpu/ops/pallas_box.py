@@ -31,8 +31,17 @@ Design notes (per /opt/skills/guides/pallas_guide.md):
 * Time coefficients arrive via SMEM so one compiled kernel serves every
   expansion epoch at a fixed capacity, like the XLA path.
 
-The kernel is used when the box fits the VMEM budget; callers fall back
-to the XLA stencil path otherwise (`BoxOperator` handles selection).
+Boxes larger than the single-block VMEM budget run a **grid-tiled**
+variant: the row space is cut into tiles of ``T`` rows and each grid step
+sees three neighbor blocks (prev/cur/next, standard halo-block pattern) so
+any stencil shift with ``|k| <= T*128`` resolves inside the concatenated
+window.  Edge clamping artifacts land exactly on flat indices outside
+``[0, n)``, which the per-axis coordinate masks already zero — the same
+wrap argument as the single-block rolls.  Sink contributions accumulate
+across sequential grid steps into an SMEM output block with a constant
+index map (TPU revisiting semantics).  Only operators whose maximum flat
+shift exceeds the tile budget (huge minor-axes product) fall back to the
+XLA stencil path (`BoxOperator` handles selection).
 """
 from __future__ import annotations
 
@@ -55,16 +64,45 @@ def _prod(xs) -> int:
     return out
 
 
-#: Box-size budget (bytes of one box-sized f32 buffer) for enabling the
-#: fused kernel.  The kernel keeps ~10 such buffers live (p, mask, inflow,
-#: outflow, propensity, shift temps, coordinate fields), and v5e VMEM is
-#: 128 MB, so 8 MB/buffer is conservative.
+#: Box-size budget (bytes of one box-sized f32 buffer) below which the
+#: kernel runs as a single block (whole box in VMEM — cheapest: each
+#: propensity is evaluated exactly once, no halo duplication).  The kernel
+#: keeps ~10 such buffers live (p, mask, inflow, outflow, propensity,
+#: shift temps, coordinate fields), and v5e VMEM is 128 MB, so
+#: 8 MB/buffer is conservative.
 VMEM_BUDGET = int(os.environ.get("PACMENSL_PALLAS_VMEM_BUDGET",
                                  str(8 * 1024 * 1024)))
 
+#: Tile size (rows of 128 lanes) for the grid-tiled variant.
+TILE_ROWS = int(os.environ.get("PACMENSL_PALLAS_TILE_ROWS", "1024"))
 
-def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int) -> bool:
-    return _prod(shape) * jnp.dtype(dtype).itemsize <= VMEM_BUDGET
+#: Largest tile the VMEM budget supports (the tiled kernel holds ~15
+#: window-sized [3T, 128] buffers between pipeline slots, the cat window,
+#: coordinate fields, and per-reaction temps).
+MAX_TILE_ROWS = int(os.environ.get("PACMENSL_PALLAS_MAX_TILE_ROWS", "4096"))
+
+
+def max_flat_shift(stoichiometry, shape, enable_reactions) -> int:
+    """Largest |flat shift| any enabled reaction induces on the C-order
+    flattened box."""
+    stoich = np.atleast_2d(np.asarray(stoichiometry, np.int64))
+    strides = [_prod(shape[d + 1:]) for d in range(len(shape))]
+    return max((abs(int(sum(int(stoich[r][d]) * strides[d]
+                            for d in range(len(shape))))))
+               for r in enable_reactions)
+
+
+def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int,
+              stoichiometry=None, enable_reactions=None) -> bool:
+    """Kernel eligibility: either the whole box fits the single-block
+    budget, or every stencil shift fits inside the largest tile window."""
+    if _prod(shape) * jnp.dtype(dtype).itemsize <= VMEM_BUDGET:
+        return True
+    if stoichiometry is None:
+        return False
+    k_max = max_flat_shift(stoichiometry, shape,
+                           enable_reactions or range(n_reactions))
+    return -(-k_max // LANES) + 1 <= MAX_TILE_ROWS
 
 
 class CoordStates:
@@ -133,21 +171,37 @@ class PallasBoxKernel:
 
         self.n = _prod(self.shape)
         self.rows = -(-self.n // LANES)           # ceil
-        self.n_pad = self.rows * LANES
         # C-order strides over the full box (coordinate reconstruction)
         nd = len(self.shape)
         self.strides = [
             _prod(self.shape[d + 1:]) for d in range(nd)]
+        # --- tiling decision -------------------------------------------
+        single_rows = VMEM_BUDGET // (LANES * jnp.dtype(dtype).itemsize)
+        if self.rows <= single_rows:
+            self.tile_rows = self.rows            # single block, no halo
+            self.grid = 1
+        else:
+            k_max = max_flat_shift(self.stoich, self.shape, self.reactions)
+            halo = -(-k_max // LANES) + 1
+            self.tile_rows = min(max(TILE_ROWS, halo), MAX_TILE_ROWS)
+            if halo > self.tile_rows:
+                raise ValueError(
+                    f"stencil halo {halo} rows exceeds the tile budget "
+                    f"{self.tile_rows} (minor-axes product too large for "
+                    "the tiled kernel)")
+            self.grid = -(-self.rows // self.tile_rows)
+        self.n_pad = self.grid * self.tile_rows * LANES
         self._call = jax.jit(self._build())
 
     # ------------------------------------------------------------ pieces
-    def _coords(self):
-        """Per-species coordinate fields [rows, 128] int32, from the flat
-        index ``idx = row * 128 + lane``."""
-        rows = self.rows
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        idx = row_iota * LANES + lane_iota
+    def _coords(self, nrows: int, base_row=0):
+        """Per-species coordinate fields [nrows, 128] int32, from the flat
+        index ``idx = (base_row + row) * 128 + lane``.  ``base_row`` may be
+        a traced int (tiled mode); rows before the array start decode to
+        garbage coordinates that the validity masks exclude."""
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
+        idx = (row_iota + base_row) * LANES + lane_iota
         coords = []
         for d, sd in enumerate(self.strides):
             c = idx // sd if sd > 1 else idx
@@ -175,88 +229,148 @@ class PallasBoxKernel:
             return lo
         return jnp.where(lane_iota >= k2, lo, hi)
 
-    def _shift(self, ap, coords, lane_iota, s):
-        """out[x] = ap[x - s] with zero fill outside the box."""
-        k = int(sum(int(s[d]) * self.strides[d] for d in range(len(s))))
-        out = self._flat_shift(ap, lane_iota, k)
-        valid = None
-        for d in range(len(s)):
-            sd = int(s[d])
-            if sd == 0:
-                continue
-            src = coords[d] - sd
-            ok = (src >= 0) & (src < self.shape[d])
-            valid = ok if valid is None else (valid & ok)
-        if valid is not None:
-            out = jnp.where(valid, out, jnp.zeros((), self.dtype))
-        return out
-
     # ------------------------------------------------------------- build
-    def _build(self):
-        rows = self.rows
+    def _compute(self, c_ref, bounds_ref, p_w, mask_w, coords_w,
+                 lane_iota, mid0: int, t_out: int):
+        """Shared core: from window arrays ``p_w``/``mask_w`` [W, 128] and
+        their coordinate fields, produce the middle-slice derivative
+        ``acc`` [t_out, 128] (output rows ``[mid0, mid0 + t_out)`` of the
+        window) and the per-constraint sink contributions of those rows."""
         dtype = self.dtype
-        R = len(self.reactions)
         nd = len(self.shape)
         comps = self.components
         n_c = len(comps) if comps is not None else 0
 
-        def kernel(c_ref, bounds_ref, p_ref, mask_ref, dp_ref, dsinks_ref):
-            p = p_ref[:]
-            mask = mask_ref[:]
-            coords, lane_iota = self._coords()
-            x_view = CoordStates([ci.astype(dtype) for ci in coords])
+        def mid(a):
+            return a if (mid0 == 0 and a.shape[0] == t_out) \
+                else a[mid0:mid0 + t_out]
 
-            acc = jnp.zeros((rows, LANES), dtype)
-            sink_acc = [jnp.zeros((), dtype) for _ in range(n_c)]
-            for k, r in enumerate(self.reactions):
-                c_r = c_ref[0, k]
-                a_r = jnp.asarray(self.propensity(x_view, r))
-                ap = a_r.astype(dtype) * mask * p
-                s = self.stoich[r]
-                inflow = self._shift(ap, coords, lane_iota, s)
-                acc = acc + c_r * (inflow * mask - ap)
-                if comps is not None:
-                    # sinks: mass flowing to targets x + s_r that violate
-                    # constraint cc, one dense masked reduction each
-                    # (reference FspMatrixConstrained sink semantics incl.
-                    # multi-counting across violated constraints)
-                    tgt_view = CoordStates(
-                        [coords[d].astype(dtype) + float(s[d])
-                         for d in range(nd)])
-                    for cc in range(n_c):
-                        v = jnp.asarray(comps[cc](tgt_view)).astype(dtype)
-                        viol = v > bounds_ref[0, cc].astype(dtype)
-                        sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
-                            jnp.where(viol, ap, jnp.zeros((), dtype)))
-            dp_ref[:] = acc
-            for cc in range(n_c):
-                dsinks_ref[0, cc] = sink_acc[cc]
+        coords_m = [mid(cd) for cd in coords_w]
+        mask_m = mid(mask_w)
+        x_view = CoordStates([ci.astype(dtype) for ci in coords_w])
 
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # c  (1, R)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds (1, n_c)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # p  (rows, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
-        ]
+        acc = jnp.zeros((t_out, LANES), dtype)
+        sink_acc = [jnp.zeros((), dtype) for _ in range(n_c)]
+        for k, r in enumerate(self.reactions):
+            c_r = c_ref[0, k]
+            a_r = jnp.asarray(self.propensity(x_view, r)).astype(dtype)
+            # where() (not multiply) so inf/nan propensities at padded or
+            # clamped-garbage coordinates never reach the accumulators
+            ap = jnp.where(mask_w > 0, a_r * p_w, jnp.zeros((), dtype))
+            s = self.stoich[r]
+            kk = int(sum(int(s[d]) * self.strides[d] for d in range(nd)))
+            inflow = mid(self._flat_shift(ap, lane_iota, kk))
+            valid = None
+            for d in range(nd):
+                sd = int(s[d])
+                if sd == 0:
+                    continue
+                src = coords_m[d] - sd
+                ok = (src >= 0) & (src < self.shape[d])
+                valid = ok if valid is None else (valid & ok)
+            if valid is not None:
+                inflow = jnp.where(valid, inflow, jnp.zeros((), dtype))
+            ap_m = mid(ap)
+            acc = acc + c_r * (inflow * mask_m - ap_m)
+            if comps is not None:
+                # sinks: mass flowing to targets x + s_r that violate
+                # constraint cc, one dense masked reduction each
+                # (reference FspMatrixConstrained sink semantics incl.
+                # multi-counting across violated constraints)
+                tgt_view = CoordStates(
+                    [coords_m[d].astype(dtype) + float(s[d])
+                     for d in range(nd)])
+                for cc in range(n_c):
+                    v = jnp.asarray(comps[cc](tgt_view)).astype(dtype)
+                    viol = v > bounds_ref[0, cc].astype(dtype)
+                    sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
+                        jnp.where(viol, ap_m, jnp.zeros((), dtype)))
+        return acc, sink_acc
+
+    def _build(self):
+        dtype = self.dtype
+        R = len(self.reactions)
+        comps = self.components
+        n_c = len(comps) if comps is not None else 0
+        T, grid = self.tile_rows, self.grid
+        rows_pad = T * grid
+
+        if grid == 1:
+            def kernel_entry(c_ref, bounds_ref, p_ref, mask_ref,
+                             dp_ref, dsinks_ref):
+                coords, lane_iota = self._coords(T)
+                acc, sink_acc = self._compute(
+                    c_ref, bounds_ref, p_ref[:], mask_ref[:],
+                    coords, lane_iota, 0, T)
+                dp_ref[:] = acc
+                for cc in range(n_c):
+                    dsinks_ref[0, cc] = sink_acc[cc]
+                if n_c == 0:
+                    dsinks_ref[0, 0] = jnp.zeros((), dtype)
+
+            grid_kw = {}
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # c  (1, R)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds (1, n_c)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # p  (rows, 128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
+            ]
+            out_specs = (
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            )
+        else:
+            def kernel_entry(c_ref, bounds_ref, p_pv, p_cu, p_nx,
+                             m_pv, m_cu, m_nx, dp_ref, dsinks_ref):
+                pid = pl.program_id(0)
+                p_w = jnp.concatenate([p_pv[:], p_cu[:], p_nx[:]], axis=0)
+                mask_w = jnp.concatenate([m_pv[:], m_cu[:], m_nx[:]],
+                                         axis=0)
+                coords, lane_iota = self._coords(3 * T, (pid - 1) * T)
+                acc, sink_acc = self._compute(
+                    c_ref, bounds_ref, p_w, mask_w, coords, lane_iota,
+                    T, T)
+                dp_ref[:] = acc
+
+                @pl.when(pid == 0)
+                def _init():
+                    for cc in range(max(n_c, 1)):
+                        dsinks_ref[0, cc] = jnp.zeros((), dtype)
+
+                for cc in range(n_c):
+                    dsinks_ref[0, cc] = dsinks_ref[0, cc] + sink_acc[cc]
+
+            prev = lambda i: (jnp.maximum(i - 1, 0), 0)
+            cur = lambda i: (i, 0)
+            nxt = lambda i: (jnp.minimum(i + 1, grid - 1), 0)
+            blk = (T, LANES)
+            grid_kw = {"grid": (grid,)}
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # c  (1, R)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds (1, n_c)
+                pl.BlockSpec(blk, prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, nxt, memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, nxt, memory_space=pltpu.VMEM),
+            ]
+            out_specs = (
+                pl.BlockSpec(blk, cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, max(n_c, 1)), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            )
+
         out_shape = (
-            jax.ShapeDtypeStruct((rows, LANES), dtype),
+            jax.ShapeDtypeStruct((rows_pad, LANES), dtype),
             jax.ShapeDtypeStruct((1, max(n_c, 1)), dtype),
-        )
-        out_specs = (
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         )
         itemsize = jnp.dtype(dtype).itemsize
         cost = pl.CostEstimate(
-            flops=2 * (2 * R + 1 + R * n_c) * rows * LANES,
-            bytes_accessed=3 * rows * LANES * itemsize,
-            transcendentals=R * rows * LANES)
-
-        def kernel_entry(c_ref, bounds_ref, p_ref, mask_ref,
-                         dp_ref, dsinks_ref):
-            kernel(c_ref, bounds_ref, p_ref, mask_ref, dp_ref, dsinks_ref)
-            if n_c == 0:
-                dsinks_ref[0, 0] = jnp.zeros((), dtype)
+            flops=2 * (2 * R + 1 + R * n_c) * rows_pad * LANES,
+            bytes_accessed=(3 if grid == 1 else 7) * rows_pad * LANES
+            * itemsize,
+            transcendentals=R * rows_pad * LANES * (1 if grid == 1 else 3))
 
         call = pl.pallas_call(
             kernel_entry,
@@ -264,11 +378,13 @@ class PallasBoxKernel:
             in_specs=in_specs,
             out_specs=out_specs,
             cost_estimate=cost,
-            # the unrolled reaction loop keeps ~10 box-sized buffers live;
-            # the default 16 MB scoped limit under-serves v5e's 128 MB VMEM
+            # the unrolled reaction loop keeps ~10 window-sized buffers
+            # live; the default 16 MB scoped limit under-serves v5e's
+            # 128 MB VMEM
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self.interpret,
+            **grid_kw,
         )
 
         n, n_pad = self.n, self.n_pad
@@ -277,7 +393,7 @@ class PallasBoxKernel:
             flat = x.reshape(n)
             if n_pad != n:
                 flat = jnp.pad(flat, (0, n_pad - n))
-            return flat.reshape(rows, LANES)
+            return flat.reshape(rows_pad, LANES)
 
         def fn(c, bounds, p_box, mask_box):
             c2 = jnp.asarray(c, dtype).reshape(1, R)

@@ -106,6 +106,31 @@ def test_pallas_time_varying_hog1p_3d():
                                    rtol=1e-12, atol=1e-13)
 
 
+def test_pallas_tiled_grid(monkeypatch):
+    """Boxes over the single-block VMEM budget run the grid-tiled kernel
+    (3-neighbor halo blocks); shrink the budgets so a small repressilator
+    box exercises grid > 1, and check exact agreement with the XLA path —
+    including the cross-grid SMEM sink accumulation."""
+    from pacmensl_tpu.ops import pallas_box
+    monkeypatch.setattr(pallas_box, "VMEM_BUDGET", 1024)
+    monkeypatch.setattr(pallas_box, "TILE_ROWS", 4)
+    b = pm.models.repressilator()
+    _, pal_op, _, _ = _compare(b, bounds=np.array([15, 15, 15]))
+    assert pal_op._pallas.grid > 1
+
+
+def test_pallas_tiled_negative_and_large_shifts(monkeypatch):
+    """Tiled halo handling with shifts in the major axis (|k| spanning
+    several tiles' worth of rows is rejected; |k| within one tile works),
+    and death reactions (negative flat shifts)."""
+    from pacmensl_tpu.ops import pallas_box
+    monkeypatch.setattr(pallas_box, "VMEM_BUDGET", 1024)
+    monkeypatch.setattr(pallas_box, "TILE_ROWS", 8)
+    _, pal_op, _, _ = _compare(pm.models.toggle(),
+                               bounds=np.array([40, 33, 100]))
+    assert pal_op._pallas.grid > 1
+
+
 def test_pallas_end_to_end_solve():
     """Full FSP solve with the pallas matvec matches the XLA matvec."""
     b = pm.models.toggle()
