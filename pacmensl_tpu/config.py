@@ -4,7 +4,9 @@ The reference library (pacmensl) is double-precision throughout (PETSc
 ``PetscReal`` = f64).  On TPU, float64 is software-emulated and slow, so the
 framework is dtype-parametric: every solver object takes a ``dtype`` and the
 global default can be steered with the ``PACMENSL_TPU_X64`` environment
-variable (default: enabled, matching the reference numerics).
+variable.  When the variable is unset the default is **platform-aware**:
+x64 on CPU/GPU (matching the reference numerics) and f32 on TPU (the
+hardware-native dtype; emulated f64 there would silently cost ~10x).
 
 This module must be imported before any JAX arrays are created, because
 ``jax_enable_x64`` has to be set at import time.
@@ -15,7 +17,20 @@ import os
 
 import jax
 
-_X64 = os.environ.get("PACMENSL_TPU_X64", "1") not in ("0", "false", "False")
+
+def _default_platform_is_tpu() -> bool:
+    try:
+        d = jax.devices()[0]
+        return d.platform == "tpu" or "tpu" in str(d.device_kind).lower()
+    except Exception:
+        return False
+
+
+_x64_env = os.environ.get("PACMENSL_TPU_X64")
+if _x64_env is None:
+    _X64 = not _default_platform_is_tpu()
+else:
+    _X64 = _x64_env not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 

@@ -132,9 +132,9 @@ class BoxOperator:
         False disables."""
         if use_pallas is False or self.materialize:
             return None
-        from .pallas_box import PallasBoxKernel, fits_vmem
+        from .pallas_box import PallasBoxKernel, fits_vmem, is_tpu_device
         import jax as _jax
-        on_tpu = _jax.devices()[0].platform == "tpu"
+        on_tpu = is_tpu_device()
         if use_pallas == "auto":
             f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
             if not (on_tpu and f32 and
@@ -158,21 +158,36 @@ class BoxOperator:
                 jax.ShapeDtypeStruct(self.shape, self.dtype))
             return kern
 
+        import warnings
         comps = self.space.constraints.components
         try:
             return build(comps)
-        except Exception:
+        except Exception as e:
             if comps is None:
                 if use_pallas is True:
                     raise
+                warnings.warn(
+                    "pallas box kernel unavailable, falling back to the XLA "
+                    f"stencil path: {type(e).__name__}: {e}",
+                    RuntimeWarning, stacklevel=2)
                 return None
+            err_sinks = e
         # constraint components that don't trace on coordinate fields:
         # retry without in-kernel sinks (shell-gather fallback)
         try:
-            return build(None)
-        except Exception:
+            kern = build(None)
+            warnings.warn(
+                "pallas kernel: in-kernel sink evaluation unavailable "
+                f"({type(err_sinks).__name__}: {err_sinks}); using the "
+                "shell-gather sink fallback", RuntimeWarning, stacklevel=2)
+            return kern
+        except Exception as e:
             if use_pallas is True:
                 raise
+            warnings.warn(
+                "pallas box kernel unavailable, falling back to the XLA "
+                f"stencil path: {type(e).__name__}: {e}",
+                RuntimeWarning, stacklevel=2)
             return None
 
     # ------------------------------------------------------------- data

@@ -35,9 +35,12 @@ Boxes larger than the single-block VMEM budget run a **grid-tiled**
 variant: the row space is cut into tiles of ``T`` rows and each grid step
 sees three neighbor blocks (prev/cur/next, standard halo-block pattern) so
 any stencil shift with ``|k| <= T*128`` resolves inside the concatenated
-window.  Edge clamping artifacts land exactly on flat indices outside
-``[0, n)``, which the per-axis coordinate masks already zero — the same
-wrap argument as the single-block rolls.  Sink contributions accumulate
+window.  Edge clamping (prev of block 0 / next of the last block repeat the
+edge block) leaves *real data at wrong window positions* in those regions;
+it is only ever read by middle-slice outputs whose N-d flat source lies
+outside ``[0, n)``, and the per-axis source-validity masks zero exactly
+those outputs — the same argument that handles the single-block rolls'
+mixed-radix carry wrap.  Sink contributions accumulate
 across sequential grid steps into an SMEM output block with a constant
 index map (TPU revisiting semantics).  Only operators whose maximum flat
 shift exceeds the tile budget (huge minor-axes product) fall back to the
@@ -55,6 +58,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+
+
+def is_tpu_device() -> bool:
+    """True when the default JAX device is a TPU chip.
+
+    Robust to experimental platform plugins (a tunneled chip may register
+    under a plugin platform name while ``device_kind`` still reads
+    "TPU v5 lite"): accept either the platform string or the kind.
+    """
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return d.platform == "tpu" or "tpu" in str(d.device_kind).lower()
 
 
 def _prod(xs) -> int:
@@ -89,7 +106,7 @@ def max_flat_shift(stoichiometry, shape, enable_reactions) -> int:
     strides = [_prod(shape[d + 1:]) for d in range(len(shape))]
     return max((abs(int(sum(int(stoich[r][d]) * strides[d]
                             for d in range(len(shape))))))
-               for r in enable_reactions)
+               for r in enable_reactions) if len(enable_reactions) else 0
 
 
 def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int,
@@ -100,8 +117,9 @@ def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int,
         return True
     if stoichiometry is None:
         return False
-    k_max = max_flat_shift(stoichiometry, shape,
-                           enable_reactions or range(n_reactions))
+    reactions = (list(range(n_reactions)) if enable_reactions is None
+                 else list(enable_reactions))
+    k_max = max_flat_shift(stoichiometry, shape, reactions)
     return -(-k_max // LANES) + 1 <= MAX_TILE_ROWS
 
 
@@ -166,7 +184,7 @@ class PallasBoxKernel:
         # are far cheaper)
         self.components = tuple(components) if components else None
         if interpret is None:
-            interpret = jax.devices()[0].platform != "tpu"
+            interpret = not is_tpu_device()
         self.interpret = bool(interpret)
 
         self.n = _prod(self.shape)
@@ -197,8 +215,13 @@ class PallasBoxKernel:
     def _coords(self, nrows: int, base_row=0):
         """Per-species coordinate fields [nrows, 128] int32, from the flat
         index ``idx = (base_row + row) * 128 + lane``.  ``base_row`` may be
-        a traced int (tiled mode); rows before the array start decode to
-        garbage coordinates that the validity masks exclude."""
+        a traced int (tiled mode).  NOTE: negative flat indices (rows before
+        the array start) wrap via floor-div/mod into *in-range-looking*
+        coordinates, so window regions outside ``[0, n)`` hold plausible
+        garbage.  Correctness invariant: such regions are only ever read by
+        middle-slice outputs whose flat source is out-of-box, which the
+        per-axis source-validity masks zero; only middle-slice values
+        (``coords_m`` / ``ap_m``) may feed sinks or unmasked terms."""
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
         idx = (row_iota + base_row) * LANES + lane_iota
@@ -399,8 +422,15 @@ class PallasBoxKernel:
             c2 = jnp.asarray(c, dtype).reshape(1, R)
             b2 = jnp.asarray(bounds, jnp.int32).reshape(1, -1) \
                 if n_c else jnp.zeros((1, 1), jnp.int32)
-            dp2, dsinks = call(c2, b2, pad2(p_box.astype(dtype)),
-                               pad2(mask_box.astype(dtype)))
+            p2 = pad2(p_box.astype(dtype))
+            m2 = pad2(mask_box.astype(dtype))
+            if grid == 1:
+                dp2, dsinks = call(c2, b2, p2, m2)
+            else:
+                # one operand per declared BlockSpec: the prev/cur/next
+                # views are the SAME padded array read through three
+                # different block index maps
+                dp2, dsinks = call(c2, b2, p2, p2, p2, m2, m2, m2)
             dp = dp2.reshape(n_pad)[:n].reshape(self.shape)
             return dp, (dsinks.reshape(-1) if n_c else None)
 

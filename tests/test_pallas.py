@@ -115,7 +115,10 @@ def test_pallas_tiled_grid(monkeypatch):
     monkeypatch.setattr(pallas_box, "VMEM_BUDGET", 1024)
     monkeypatch.setattr(pallas_box, "TILE_ROWS", 4)
     b = pm.models.repressilator()
-    _, pal_op, _, _ = _compare(b, bounds=np.array([15, 15, 15]))
+    # repressilator carries 6 constraints (3 coords + 3 products); the
+    # bounds vector must match that arity and cover x0 = (21, 0, 0)
+    _, pal_op, _, _ = _compare(
+        b, bounds=np.array([25, 15, 15, 60, 30, 60]))
     assert pal_op._pallas.grid > 1
 
 
