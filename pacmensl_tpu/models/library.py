@@ -38,6 +38,28 @@ def _f(x):
     return x.astype(_jnp.float64)
 
 
+def _ipow(x, n: int):
+    """x**n for small non-negative integer n by repeated squaring.
+
+    Propensities are re-evaluated in-register by the fused Pallas kernel
+    (pallas_box) on every matvec; ``jnp.power`` with a float exponent
+    lowers to a transcendental pow (dozens of VPU cycles/element), while
+    integer Hill exponents (the reference models use pow(x, 6.0) etc.,
+    repressilator_model.h:15,39) need only log2(n) multiplies.
+    """
+    assert n >= 1 and n == int(n)
+    n = int(n)
+    out = None
+    sq = x
+    while n:
+        if n & 1:
+            out = sq if out is None else out * sq
+        n >>= 1
+        if n:
+            sq = sq * sq
+    return out
+
+
 
 @dataclass
 class BundledModel:
@@ -72,7 +94,7 @@ def toggle() -> BundledModel:
         if r == 0:
             return jnp.full_like(xf[:, 0], kx0)
         if r == 1:
-            return kx / (1.0 + ayx * jnp.power(xf[:, 1], nyx))
+            return kx / (1.0 + ayx * _ipow(xf[:, 1], 3))  # nyx = 3
         if r == 2:
             return dx * xf[:, 0]
         if r == 3:
@@ -113,15 +135,15 @@ def repressilator() -> BundledModel:
     def prop(x, r):
         xf = _f(x)
         if r == 0:
-            return k1 / (1.0 + ka * jnp.power(xf[:, 1], ket))
+            return k1 / (1.0 + ka * _ipow(xf[:, 1], 6))  # ket = 6
         if r == 1:
             return kg * xf[:, 0]
         if r == 2:
-            return k1 / (1.0 + ka * jnp.power(xf[:, 2], ket))
+            return k1 / (1.0 + ka * _ipow(xf[:, 2], 6))  # ket = 6
         if r == 3:
             return kg * xf[:, 1]
         if r == 4:
-            return k1 / (1.0 + ka * jnp.power(xf[:, 0], ket))
+            return k1 / (1.0 + ka * _ipow(xf[:, 0], 6))  # ket = 6
         if r == 5:
             return kg * xf[:, 2]
         raise ValueError(r)

@@ -197,15 +197,20 @@ class BoxOperator:
         ``space.set_bounds`` (the driver does); shapes are
         capacity-stable up to sink-shell ladder growth, so downstream
         jitted programs usually keep their compiled executables."""
-        mask_f = self.space.mask.astype(self.dtype)
-        bounds = jnp.asarray(self.space.constraints.bounds)
-        sink_idx, sink_val, sink_rid = self._build_sink_shell(mask_f, bounds)
-        self._data = BoxOpData(mask_f=mask_f, bounds=bounds,
+        # Assembly never touches the accelerator: the first round-trip
+        # through a tunneled TPU costs tens of seconds, so the mask is
+        # cast host-side and bounds stay numpy until the final async
+        # host->device transfers below.
+        bounds_np = np.asarray(self.space.constraints.bounds)
+        sink_idx, sink_val, sink_rid = self._build_sink_shell(bounds_np)
+        mask_f = jnp.asarray(
+            self.space.mask_host.astype(jnp.dtype(self.dtype)))
+        self._data = BoxOpData(mask_f=mask_f, bounds=jnp.asarray(bounds_np),
                                sink_idx=sink_idx, sink_val=sink_val,
                                sink_rid=sink_rid)
         return self._data
 
-    def _build_sink_shell(self, mask_f, bounds):
+    def _build_sink_shell(self, bounds):
         """Extract the boundary shell: per constraint c, every state x with
         ``x + s_r`` violating c contributes ``a_r(x)·mask(x)`` under
         reaction r (reference sink-row sparsity,
@@ -218,7 +223,7 @@ class BoxOperator:
         # then pure numpy — a device-side compaction would compile a fresh
         # gather program per (reaction, constraint, count), which through
         # a remote-compile TPU link costs seconds each, every epoch.
-        mask_np = np.asarray(jax.device_get(mask_f)).reshape(-1) != 0
+        mask_np = self.space.mask_host.reshape(-1) != 0
         if self._shell_eval is None:
             # compiled for the LOCAL CPU backend (bounds are committed to
             # the cpu device, steering the jit): compiles are local and
@@ -230,7 +235,8 @@ class BoxOperator:
         cpu = jax.devices("cpu")[0]
         bounds_cpu = jax.device_put(np.asarray(bounds), cpu)
         for k, r in enumerate(self.enable_reactions):
-            viol_r, prop_r = self._shell_eval(r, bounds_cpu)
+            with jax.default_device(cpu):
+                viol_r, prop_r = self._shell_eval(r, bounds_cpu)
             viol_np = np.asarray(viol_r)
             prop_np = np.asarray(prop_r)
             # shell = VALID states whose target x + s_r violates c (invalid

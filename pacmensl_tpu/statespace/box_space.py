@@ -149,7 +149,13 @@ class BoxStateSpace:
 
     @property
     def mask(self) -> jnp.ndarray:
-        """Validity mask over the box (True = state belongs to the FSP set)."""
+        """Validity mask over the box (True = state belongs to the FSP set).
+
+        Materialized on the default backend lazily: assembly-phase code
+        reads :attr:`mask_host` instead, so a solve's first device traffic
+        is the solution vector itself."""
+        if self._mask is None:
+            self._mask = jnp.asarray(self._mask_host)
         return self._mask
 
     @property
@@ -199,11 +205,24 @@ class BoxStateSpace:
             self._shape = new_shape
             self._mask_builder = self._make_mask_builder(new_shape)
 
-        bounds_arr = jnp.asarray(self.constraints.bounds)
-        seed_idx = jnp.asarray(np.ravel_multi_index(
-            tuple(self.init_states.T), self._shape))  # C-order, padded
-        self._mask, n = self._mask_builder(bounds_arr, seed_idx)
+        seed_np = np.ravel_multi_index(tuple(self.init_states.T),
+                                       self._shape)   # C-order, padded
+        # Assembly-phase computation runs on the host CPU backend: mask
+        # building is a one-shot setup op, and on a tunneled TPU every
+        # fresh compile costs seconds of RPC latency (the persistent
+        # compile cache does not survive the tunnel), so compiling the
+        # BFS while-loop remotely would dominate solve setup.  The mask
+        # ships to the default device once, as data.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            mask_cpu, n = self._mask_builder(
+                jax.device_put(np.asarray(self.constraints.bounds), cpu),
+                jax.device_put(seed_np, cpu))
         self._num_states = int(jax.device_get(n))
+        self._mask_host = np.asarray(jax.device_get(mask_cpu))
+        # Device copy (uncommitted, resharding-friendly) is created lazily
+        # by the ``mask`` property.
+        self._mask = None
 
     def _make_mask_builder(self, shape):
         """One jitted program builds the whole mask (constraint check + BFS
@@ -256,10 +275,15 @@ class BoxStateSpace:
                        jnp.zeros((), p_old.dtype), pad)
 
     # ---------------------------------------------------------- queries ---
+    @property
+    def mask_host(self) -> np.ndarray:
+        """Host (numpy) copy of the validity mask — assembly-time queries
+        read this instead of round-tripping through the device."""
+        return self._mask_host
+
     def states(self) -> np.ndarray:
         """Enumerate valid states [num_states, S] (host, box order)."""
-        mask = np.asarray(jax.device_get(self._mask))
-        return np.argwhere(mask).astype(np.int64)
+        return np.argwhere(self._mask_host).astype(np.int64)
 
     def state2index(self, states) -> np.ndarray:
         """Map states to their flat (C-order) box index; -1 for states
@@ -277,7 +301,7 @@ class BoxStateSpace:
             [np.cumprod(shape[::-1])[::-1][1:], [1]])
         inside = ((states >= 0) & (states < shape[None, :])).all(axis=1)
         keys = states @ strides
-        mask_flat = np.asarray(jax.device_get(self._mask)).reshape(-1)
+        mask_flat = self._mask_host.reshape(-1)
         out = np.full(keys.shape, -1, dtype=np.int64)
         out[inside] = np.where(mask_flat[keys[inside]], keys[inside], -1)
         return out
@@ -285,5 +309,4 @@ class BoxStateSpace:
     def extract_valid(self, p_box: jnp.ndarray) -> np.ndarray:
         """Gather p at valid states, in :meth:`states` order (host)."""
         p = np.asarray(jax.device_get(p_box)).reshape(-1)
-        mask = np.asarray(jax.device_get(self._mask)).reshape(-1)
-        return p[mask]
+        return p[self._mask_host.reshape(-1)]

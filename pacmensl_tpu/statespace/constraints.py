@@ -81,13 +81,28 @@ class ConstraintSet:
         vals = jnp.asarray(self.fn(states))
         return vals.reshape(states.shape[0], self.num_constraints)
 
+    @staticmethod
+    def _host_call(jitted, states):
+        """Run a cached jitted helper on the CPU backend.
+
+        These helpers serve host-side assembly sweeps (bounding-box
+        search, BFS candidate filtering); compiling them for a tunneled
+        accelerator would pay seconds of remote-compile RPC per distinct
+        shape for microseconds of work.  Device-side callers go through
+        :meth:`values_fn` / :meth:`satisfied_with` instead, which trace
+        into the enclosing jitted program.
+        """
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return jitted(jax.device_put(np.asarray(states), cpu))
+
     def values(self, states) -> jnp.ndarray:
         """Constraint scores f(x): [n, n_constraints] (jnp-traceable)."""
         if isinstance(states, jax.core.Tracer):
             return self._values_impl(states)
         if self._values_jit is None:
             self._values_jit = jax.jit(self._values_impl)
-        return self._values_jit(jnp.asarray(states))
+        return self._host_call(self._values_jit, states)
 
     def _satisfied_impl(self, states) -> jnp.ndarray:
         b = jnp.asarray(self.bounds)
@@ -103,7 +118,7 @@ class ConstraintSet:
             return self._satisfied_impl(states)
         if self._sat_jit is None:
             self._sat_jit = jax.jit(self._satisfied_impl)
-        return self._sat_jit(jnp.asarray(states))
+        return self._host_call(self._sat_jit, states)
 
     def values_fn(self, states) -> jnp.ndarray:
         """Raw constraint scores, trace-only (no jit wrapper, no bounds).
@@ -128,7 +143,7 @@ class ConstraintSet:
         if self._all_sat_jit is None:
             self._all_sat_jit = jax.jit(
                 lambda s: jnp.all(self._satisfied_impl(s), axis=1))
-        return self._all_sat_jit(jnp.asarray(states))
+        return self._host_call(self._all_sat_jit, states)
 
     def expanded_bounds(self, to_expand) -> np.ndarray:
         """Grow the flagged bounds by their expansion factors.
