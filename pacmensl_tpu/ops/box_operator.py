@@ -107,6 +107,7 @@ class BoxOperator:
                              for row in model.stoichiometry)
         self._data: Optional[BoxOpData] = None
         self._shell_eval = None
+        self._use_pallas_mode = use_pallas
         # Monotone sink-shell padding: the padded shell width only ever
         # grows (and callers pass the previous operator's value through
         # rebuilds), so within-capacity expansion epochs keep the shapes
@@ -143,11 +144,12 @@ class BoxOperator:
                               stoichiometry=self.model.stoichiometry,
                               enable_reactions=self.enable_reactions)):
                 return None
-        def build(components):
+        def build(components, synth=False):
             kern = PallasBoxKernel(
                 self.model.propensity, self.model.stoichiometry,
                 self.shape, self.enable_reactions, dtype=self.dtype,
-                components=components)
+                components=components, synth_mask=synth,
+                sink_active=self._sink_activity())
             # fail here (trace-time), not on the first matvec
             _jax.eval_shape(
                 kern._call,
@@ -160,8 +162,14 @@ class BoxOperator:
 
         import warnings
         comps = self.space.constraints.components
+        # Mask synthesis: when BFS reachability prunes nothing, the mask
+        # is all-constraints-satisfied — recomputable in-register from the
+        # SMEM bounds, halving the kernel's HBM traffic.  refresh_data
+        # downgrades to the mask-reading kernel if a later epoch's mask
+        # stops being constraint-pure.
+        synth = bool(getattr(self.space, "mask_is_constraint_only", False))
         try:
-            return build(comps)
+            return build(comps, synth=synth and comps is not None)
         except Exception as e:
             if comps is None:
                 if use_pallas is True:
@@ -190,6 +198,34 @@ class BoxOperator:
                 RuntimeWarning, stacklevel=2)
             return None
 
+    def _sink_activity(self) -> np.ndarray:
+        """Structural sink sparsity [R_enabled, n_c]: combo (r, c) is
+        active iff reaction r increases constraint score c somewhere in
+        the capacity box — a *bounds-independent* superset of the sink
+        rows any epoch can populate (a valid x with f_c(x + s_r) > b_c
+        implies f_c(x + s_r) > f_c(x) since f_c(x) <= b_c).  Lets the
+        fused kernel skip the per-(reaction, constraint) violation
+        reductions for impossible combos (e.g. death reactions never feed
+        coordinate-bound sinks).  Evaluated once per capacity on the CPU
+        backend."""
+        if getattr(self, "_sink_active_cache", None) is not None:
+            return self._sink_active_cache
+        cpu = jax.devices("cpu")[0]
+
+        def act(r):
+            coords = coord_grid(self.shape)
+            s = jnp.asarray(self.model.stoichiometry[r], coords.dtype)
+            return jnp.any(self._values_fn(coords + s[None, :])
+                           > self._values_fn(coords), axis=0)
+
+        act_jit = jax.jit(act, static_argnums=0)
+        rows = []
+        with jax.default_device(cpu):
+            for r in self.enable_reactions:
+                rows.append(np.asarray(jax.device_get(act_jit(r)), bool))
+        self._sink_active_cache = np.stack(rows, axis=0)
+        return self._sink_active_cache
+
     # ------------------------------------------------------------- data
     def refresh_data(self) -> BoxOpData:
         """Snapshot the space's current mask + bounds into the operator
@@ -202,6 +238,14 @@ class BoxOperator:
         # cast host-side and bounds stay numpy until the final async
         # host->device transfers below.
         bounds_np = np.asarray(self.space.constraints.bounds)
+        kern = getattr(self, "_pallas", None)
+        if (kern is not None and kern.synth_mask
+                and not getattr(self.space, "mask_is_constraint_only",
+                                False)):
+            # reachability started pruning states: the in-register mask no
+            # longer equals the stored one — rebuild the kernel in
+            # mask-reading mode (rare; costs one retrace)
+            self._pallas = self._maybe_build_pallas(self._use_pallas_mode)
         sink_idx, sink_val, sink_rid = self._build_sink_shell(bounds_np)
         mask_f = jnp.asarray(
             self.space.mask_host.astype(jnp.dtype(self.dtype)))

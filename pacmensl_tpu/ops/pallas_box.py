@@ -32,19 +32,32 @@ Design notes (per /opt/skills/guides/pallas_guide.md):
   expansion epoch at a fixed capacity, like the XLA path.
 
 Boxes larger than the single-block VMEM budget run a **grid-tiled**
-variant: the row space is cut into tiles of ``T`` rows and each grid step
-sees three neighbor blocks (prev/cur/next, standard halo-block pattern) so
-any stencil shift with ``|k| <= T*128`` resolves inside the concatenated
-window.  Edge clamping (prev of block 0 / next of the last block repeat the
-edge block) leaves *real data at wrong window positions* in those regions;
-it is only ever read by middle-slice outputs whose N-d flat source lies
-outside ``[0, n)``, and the per-axis source-validity masks zero exactly
-those outputs — the same argument that handles the single-block rolls'
-mixed-radix carry wrap.  Sink contributions accumulate
-across sequential grid steps into an SMEM output block with a constant
-index map (TPU revisiting semantics).  Only operators whose maximum flat
-shift exceeds the tile budget (huge minor-axes product) fall back to the
-XLA stencil path (`BoxOperator` handles selection).
+variant: the row space is cut into tiles of ``T`` rows, and each grid step
+reads its tile plus two *halo-sized* neighbor blocks of ``H`` rows
+(``H = ceil(k_max / 128) + 1`` rounded to the sublane quantum), assembled
+outside the kernel as ``[grid * H, 128]`` prev/next halo arrays.  Any
+stencil shift with ``|k| <= H * 128`` then resolves inside the
+``[T + 2H, 128]`` window, and HBM traffic is ``1 + 2H/T`` reads of the box
+per operand instead of the 3 reads a full prev/cur/next blocking costs.
+Window regions whose flat index falls outside ``[0, n)`` (edge halos hold
+zeros; coordinates wrap) are only ever read by middle-slice outputs whose
+N-d flat source is out-of-box, which the per-axis source-validity masks
+zero — the same argument that handles the single-block rolls' mixed-radix
+carry wrap.  Sink contributions accumulate across sequential grid steps
+into an SMEM output block with a constant index map (TPU revisiting
+semantics).  Only operators whose stencil halo exceeds the tile budget
+(huge minor-axes product) fall back to the XLA stencil path
+(`BoxOperator` handles selection).
+
+**Synthesized masks** (``synth_mask=True``): when the validity mask is a
+pure function of the constraint bounds (BFS reachability prunes nothing —
+``BoxStateSpace.mask_is_constraint_only``), the kernel recomputes it
+in-register from the per-constraint component callables and the SMEM
+bounds instead of reading it from HBM, halving memory traffic.  The
+synthesized mask agrees with the stored mask exactly on every window
+position that can reach an accumulator (middle-slice positions decode
+real coordinates; clamped/padded positions have ``p = 0`` or are zeroed
+by the source-validity masks).
 """
 from __future__ import annotations
 
@@ -90,13 +103,22 @@ def _prod(xs) -> int:
 VMEM_BUDGET = int(os.environ.get("PACMENSL_PALLAS_VMEM_BUDGET",
                                  str(8 * 1024 * 1024)))
 
-#: Tile size (rows of 128 lanes) for the grid-tiled variant.
-TILE_ROWS = int(os.environ.get("PACMENSL_PALLAS_TILE_ROWS", "1024"))
+#: Tile size (rows of 128 lanes) for the grid-tiled variant.  Large tiles
+#: amortize the halo reads (traffic ~ 1 + 2H/T per operand); the window
+#: buffers are [T + 2H, 128], far under VMEM at this size.
+TILE_ROWS = int(os.environ.get("PACMENSL_PALLAS_TILE_ROWS", "4096"))
 
 #: Largest tile the VMEM budget supports (the tiled kernel holds ~15
 #: window-sized [3T, 128] buffers between pipeline slots, the cat window,
 #: coordinate fields, and per-reaction temps).
 MAX_TILE_ROWS = int(os.environ.get("PACMENSL_PALLAS_MAX_TILE_ROWS", "4096"))
+
+#: Mosaic scoped-VMEM ceiling handed to the compiler.  v5e carries 128 MB
+#: of VMEM; the stock 16 MB (or a conservative 100 MB) limit rejects
+#: single-block kernels whose unrolled reaction loop peaks near the
+#: physical capacity.
+VMEM_LIMIT = int(os.environ.get("PACMENSL_PALLAS_VMEM_LIMIT",
+                                str(120 * 1024 * 1024)))
 
 
 def max_flat_shift(stoichiometry, shape, enable_reactions) -> int:
@@ -172,7 +194,9 @@ class PallasBoxKernel:
                  enable_reactions: Sequence[int],
                  dtype=jnp.float32,
                  components: Optional[Sequence[Callable]] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 synth_mask: bool = False,
+                 sink_active: Optional[np.ndarray] = None):
         self.shape = tuple(int(s) for s in shape)
         self.dtype = dtype
         self.reactions = tuple(int(r) for r in enable_reactions)
@@ -183,6 +207,22 @@ class PallasBoxKernel:
         # shell costs ~6 ns/element; dense VMEM-resident masked reductions
         # are far cheaper)
         self.components = tuple(components) if components else None
+        # Structural sink sparsity [R_enabled, n_c] bool: combo (r, c)
+        # needs in-kernel sink work only if reaction r can increase
+        # constraint score c somewhere in the box (reference sink-row
+        # sparsity, FspMatrixConstrained.cpp:173-195 — there the empty
+        # combos simply assemble zero rows; here they skip VPU work).
+        # None = all combos active.
+        if sink_active is not None and self.components is not None:
+            self.sink_active = np.asarray(sink_active, bool)
+        else:
+            self.sink_active = (np.ones(
+                (len(self.reactions), len(self.components)), bool)
+                if self.components is not None else None)
+        # synthesize the validity mask from (coords, bounds) in-register
+        # instead of reading it from HBM (see module docstring); only
+        # meaningful with per-constraint components
+        self.synth_mask = bool(synth_mask) and self.components is not None
         if interpret is None:
             interpret = not is_tpu_device()
         self.interpret = bool(interpret)
@@ -198,9 +238,11 @@ class PallasBoxKernel:
         if self.rows <= single_rows:
             self.tile_rows = self.rows            # single block, no halo
             self.grid = 1
+            self.halo_rows = 0
         else:
             k_max = max_flat_shift(self.stoich, self.shape, self.reactions)
             halo = -(-k_max // LANES) + 1
+            halo = -(-halo // 8) * 8              # sublane quantum (f32)
             self.tile_rows = min(max(TILE_ROWS, halo), MAX_TILE_ROWS)
             if halo > self.tile_rows:
                 raise ValueError(
@@ -208,6 +250,7 @@ class PallasBoxKernel:
                     f"{self.tile_rows} (minor-axes product too large for "
                     "the tiled kernel)")
             self.grid = -(-self.rows // self.tile_rows)
+            self.halo_rows = halo
         self.n_pad = self.grid * self.tile_rows * LANES
         self._call = jax.jit(self._build())
 
@@ -258,7 +301,13 @@ class PallasBoxKernel:
         """Shared core: from window arrays ``p_w``/``mask_w`` [W, 128] and
         their coordinate fields, produce the middle-slice derivative
         ``acc`` [t_out, 128] (output rows ``[mid0, mid0 + t_out)`` of the
-        window) and the per-constraint sink contributions of those rows."""
+        window) and the per-constraint sink contributions of those rows.
+
+        ``mask_w`` may be None (synth-mask mode): the validity mask is
+        then recomputed in-register as "every constraint component
+        satisfies its SMEM bound" — exact wherever it matters (middle
+        coordinates are real; clamped/padded window positions carry
+        ``p = 0`` or feed only source-validity-masked outputs)."""
         dtype = self.dtype
         nd = len(self.shape)
         comps = self.components
@@ -269,8 +318,17 @@ class PallasBoxKernel:
                 else a[mid0:mid0 + t_out]
 
         coords_m = [mid(cd) for cd in coords_w]
-        mask_m = mid(mask_w)
         x_view = CoordStates([ci.astype(dtype) for ci in coords_w])
+
+        if mask_w is None:
+            mask_b = None
+            for cc in range(n_c):
+                v = jnp.asarray(comps[cc](x_view)).astype(dtype)
+                okc = v <= bounds_ref[0, cc].astype(dtype)
+                mask_b = okc if mask_b is None else (mask_b & okc)
+        else:
+            mask_b = mask_w > 0
+        mask_m = mid(mask_b)
 
         acc = jnp.zeros((t_out, LANES), dtype)
         sink_acc = [jnp.zeros((), dtype) for _ in range(n_c)]
@@ -279,31 +337,33 @@ class PallasBoxKernel:
             a_r = jnp.asarray(self.propensity(x_view, r)).astype(dtype)
             # where() (not multiply) so inf/nan propensities at padded or
             # clamped-garbage coordinates never reach the accumulators
-            ap = jnp.where(mask_w > 0, a_r * p_w, jnp.zeros((), dtype))
+            ap = jnp.where(mask_b, a_r * p_w, jnp.zeros((), dtype))
             s = self.stoich[r]
             kk = int(sum(int(s[d]) * self.strides[d] for d in range(nd)))
             inflow = mid(self._flat_shift(ap, lane_iota, kk))
-            valid = None
+            valid = mask_m
             for d in range(nd):
                 sd = int(s[d])
                 if sd == 0:
                     continue
                 src = coords_m[d] - sd
                 ok = (src >= 0) & (src < self.shape[d])
-                valid = ok if valid is None else (valid & ok)
-            if valid is not None:
-                inflow = jnp.where(valid, inflow, jnp.zeros((), dtype))
+                valid = valid & ok
+            inflow = jnp.where(valid, inflow, jnp.zeros((), dtype))
             ap_m = mid(ap)
-            acc = acc + c_r * (inflow * mask_m - ap_m)
-            if comps is not None:
+            acc = acc + c_r * (inflow - ap_m)
+            if comps is not None and self.sink_active[k].any():
                 # sinks: mass flowing to targets x + s_r that violate
                 # constraint cc, one dense masked reduction each
                 # (reference FspMatrixConstrained sink semantics incl.
-                # multi-counting across violated constraints)
+                # multi-counting across violated constraints); combos the
+                # reaction cannot violate are skipped entirely
                 tgt_view = CoordStates(
                     [coords_m[d].astype(dtype) + float(s[d])
                      for d in range(nd)])
                 for cc in range(n_c):
+                    if not self.sink_active[k, cc]:
+                        continue
                     v = jnp.asarray(comps[cc](tgt_view)).astype(dtype)
                     viol = v > bounds_ref[0, cc].astype(dtype)
                     sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
@@ -315,15 +375,21 @@ class PallasBoxKernel:
         R = len(self.reactions)
         comps = self.components
         n_c = len(comps) if comps is not None else 0
-        T, grid = self.tile_rows, self.grid
+        T, grid, H = self.tile_rows, self.grid, self.halo_rows
         rows_pad = T * grid
+        synth = self.synth_mask
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
         if grid == 1:
-            def kernel_entry(c_ref, bounds_ref, p_ref, mask_ref,
-                             dp_ref, dsinks_ref):
+            def kernel_entry(*refs):
+                c_ref, bounds_ref, p_ref = refs[0], refs[1], refs[2]
+                mask_ref = None if synth else refs[3]
+                dp_ref, dsinks_ref = refs[-2], refs[-1]
                 coords, lane_iota = self._coords(T)
                 acc, sink_acc = self._compute(
-                    c_ref, bounds_ref, p_ref[:], mask_ref[:],
+                    c_ref, bounds_ref, p_ref[:],
+                    None if synth else mask_ref[:],
                     coords, lane_iota, 0, T)
                 dp_ref[:] = acc
                 for cc in range(n_c):
@@ -332,27 +398,25 @@ class PallasBoxKernel:
                     dsinks_ref[0, 0] = jnp.zeros((), dtype)
 
             grid_kw = {}
-            in_specs = [
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # c  (1, R)
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds (1, n_c)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # p  (rows, 128)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
-            ]
-            out_specs = (
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            )
+            in_specs = [smem, smem, vmem] + ([] if synth else [vmem])
+            out_specs = (vmem, smem)
         else:
-            def kernel_entry(c_ref, bounds_ref, p_pv, p_cu, p_nx,
-                             m_pv, m_cu, m_nx, dp_ref, dsinks_ref):
+            def kernel_entry(*refs):
+                c_ref, bounds_ref = refs[0], refs[1]
+                p_cu, p_pv, p_nx = refs[2], refs[3], refs[4]
+                dp_ref, dsinks_ref = refs[-2], refs[-1]
                 pid = pl.program_id(0)
                 p_w = jnp.concatenate([p_pv[:], p_cu[:], p_nx[:]], axis=0)
-                mask_w = jnp.concatenate([m_pv[:], m_cu[:], m_nx[:]],
-                                         axis=0)
-                coords, lane_iota = self._coords(3 * T, (pid - 1) * T)
+                if synth:
+                    mask_w = None
+                else:
+                    m_cu, m_pv, m_nx = refs[5], refs[6], refs[7]
+                    mask_w = jnp.concatenate([m_pv[:], m_cu[:], m_nx[:]],
+                                             axis=0)
+                coords, lane_iota = self._coords(T + 2 * H, pid * T - H)
                 acc, sink_acc = self._compute(
                     c_ref, bounds_ref, p_w, mask_w, coords, lane_iota,
-                    T, T)
+                    H, T)
                 dp_ref[:] = acc
 
                 @pl.when(pid == 0)
@@ -363,23 +427,14 @@ class PallasBoxKernel:
                 for cc in range(n_c):
                     dsinks_ref[0, cc] = dsinks_ref[0, cc] + sink_acc[cc]
 
-            prev = lambda i: (jnp.maximum(i - 1, 0), 0)
             cur = lambda i: (i, 0)
-            nxt = lambda i: (jnp.minimum(i + 1, grid - 1), 0)
-            blk = (T, LANES)
+            blkT = pl.BlockSpec((T, LANES), cur, memory_space=pltpu.VMEM)
+            blkH = pl.BlockSpec((H, LANES), cur, memory_space=pltpu.VMEM)
             grid_kw = {"grid": (grid,)}
-            in_specs = [
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # c  (1, R)
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds (1, n_c)
-                pl.BlockSpec(blk, prev, memory_space=pltpu.VMEM),
-                pl.BlockSpec(blk, cur, memory_space=pltpu.VMEM),
-                pl.BlockSpec(blk, nxt, memory_space=pltpu.VMEM),
-                pl.BlockSpec(blk, prev, memory_space=pltpu.VMEM),
-                pl.BlockSpec(blk, cur, memory_space=pltpu.VMEM),
-                pl.BlockSpec(blk, nxt, memory_space=pltpu.VMEM),
-            ]
+            in_specs = [smem, smem, blkT, blkH, blkH] \
+                + ([] if synth else [blkT, blkH, blkH])
             out_specs = (
-                pl.BlockSpec(blk, cur, memory_space=pltpu.VMEM),
+                blkT,
                 pl.BlockSpec((1, max(n_c, 1)), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             )
@@ -389,11 +444,13 @@ class PallasBoxKernel:
             jax.ShapeDtypeStruct((1, max(n_c, 1)), dtype),
         )
         itemsize = jnp.dtype(dtype).itemsize
+        n_ops = (1 if synth else 2)                  # box-sized HBM reads
+        halo_frac = 0.0 if grid == 1 else 2.0 * H / T
         cost = pl.CostEstimate(
             flops=2 * (2 * R + 1 + R * n_c) * rows_pad * LANES,
-            bytes_accessed=(3 if grid == 1 else 7) * rows_pad * LANES
-            * itemsize,
-            transcendentals=R * rows_pad * LANES * (1 if grid == 1 else 3))
+            bytes_accessed=int((n_ops * (1.0 + halo_frac) + 1.0)
+                               * rows_pad * LANES * itemsize),
+            transcendentals=R * rows_pad * LANES)
 
         call = pl.pallas_call(
             kernel_entry,
@@ -405,7 +462,7 @@ class PallasBoxKernel:
             # live; the default 16 MB scoped limit under-serves v5e's
             # 128 MB VMEM
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=VMEM_LIMIT),
             interpret=self.interpret,
             **grid_kw,
         )
@@ -418,19 +475,30 @@ class PallasBoxKernel:
                 flat = jnp.pad(flat, (0, n_pad - n))
             return flat.reshape(rows_pad, LANES)
 
+        def halos(a2):
+            """Prev/next halo arrays [grid * H, 128]: block i holds rows
+            [i*T - H, i*T) (prev) / [(i+1)*T, (i+1)*T + H) (next) of the
+            padded flat view, zero-filled at the edges."""
+            a3 = a2.reshape(grid, T, LANES)
+            z = jnp.zeros((1, H, LANES), a2.dtype)
+            pv = jnp.concatenate([z, a3[:-1, T - H:, :]], axis=0)
+            nx = jnp.concatenate([a3[1:, :H, :], z], axis=0)
+            return pv.reshape(grid * H, LANES), nx.reshape(grid * H, LANES)
+
         def fn(c, bounds, p_box, mask_box):
             c2 = jnp.asarray(c, dtype).reshape(1, R)
             b2 = jnp.asarray(bounds, jnp.int32).reshape(1, -1) \
                 if n_c else jnp.zeros((1, 1), jnp.int32)
             p2 = pad2(p_box.astype(dtype))
-            m2 = pad2(mask_box.astype(dtype))
-            if grid == 1:
-                dp2, dsinks = call(c2, b2, p2, m2)
-            else:
-                # one operand per declared BlockSpec: the prev/cur/next
-                # views are the SAME padded array read through three
-                # different block index maps
-                dp2, dsinks = call(c2, b2, p2, p2, p2, m2, m2, m2)
+            args = [c2, b2, p2]
+            if grid > 1:
+                args += list(halos(p2))
+            if not synth:
+                m2 = pad2(mask_box.astype(dtype))
+                args.append(m2)
+                if grid > 1:
+                    args += list(halos(m2))
+            dp2, dsinks = call(*args)
             dp = dp2.reshape(n_pad)[:n].reshape(self.shape)
             return dp, (dsinks.reshape(-1) if n_c else None)
 

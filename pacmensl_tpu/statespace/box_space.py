@@ -215,10 +215,16 @@ class BoxStateSpace:
         # ships to the default device once, as data.
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            mask_cpu, n = self._mask_builder(
+            mask_cpu, n, n_ok = self._mask_builder(
                 jax.device_put(np.asarray(self.constraints.bounds), cpu),
                 jax.device_put(seed_np, cpu))
         self._num_states = int(jax.device_get(n))
+        # Whenever BFS reachability prunes nothing (mask == constraint-ok,
+        # the common case for the bundled models), the mask is a pure
+        # function of (coords, bounds) — operators may then synthesize it
+        # in-register instead of reading it from HBM.
+        self.mask_is_constraint_only = (self._num_states
+                                        == int(jax.device_get(n_ok)))
         self._mask_host = np.asarray(jax.device_get(mask_cpu))
         # Device copy (uncommitted, resharding-friendly) is created lazily
         # by the ``mask`` property.
@@ -242,11 +248,11 @@ class BoxStateSpace:
             ok = jnp.all(values_fn(coords) <= bounds_arr[None, :],
                          axis=1).reshape(shape)
             if not track:
-                return ok, ok.sum()
+                return ok, ok.sum(), ok.sum()
             seed = jnp.zeros(shape, dtype=bool).reshape(-1)
             seed = seed.at[seed_flat_idx].set(True).reshape(shape)
             mask = _bfs_closure(seed, ok, shifts, max_iters)
-            return mask, mask.sum()
+            return mask, mask.sum(), ok.sum()
 
         return build_mask
 
