@@ -63,6 +63,11 @@ class FspSolverMultiSinks:
         self.mesh = mesh
         self._pallas_mode = pallas   # 'auto' | True | False (box backend)
         self.partitioning = partitioning
+        self.repart_approach = PartitioningApproach.FROMSCRATCH
+        #: re-balance only when the state set grew by this factor since the
+        #: last partition (reference lb_threshold_/20% growth trigger,
+        #: StateSetBase.h:111 + StateSetConstrained.cpp:213-218)
+        self.lb_threshold = 1.2
         self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
                           else ODESolverType.from_string(odes_type))
         self.dtype = dtype or DEFAULT_DTYPE
@@ -181,6 +186,16 @@ class FspSolverMultiSinks:
                              else PartitioningType.from_string(str(ptype)))
         return self
 
+    def set_repart_approach(self, approach) -> "FspSolverMultiSinks":
+        """How re-balancing treats the existing ordering (reference
+        ``PartitioningApproach``): FROMSCRATCH recomputes the locality
+        ordering each rebalance; REPARTITION/REFINE keep it and only let
+        the shard boundaries move (migration-cost-aware)."""
+        self.repart_approach = (
+            approach if isinstance(approach, PartitioningApproach)
+            else PartitioningApproach.from_string(str(approach)))
+        return self
+
     def set_verbosity(self, level: int) -> "FspSolverMultiSinks":
         self.verbosity = int(level)
         return self
@@ -199,6 +214,8 @@ class FspSolverMultiSinks:
         opts = opts or Options.from_argv()
         if opts.has("fsp_partitioning_type"):
             self.set_load_balancing_method(opts.get("fsp_partitioning_type"))
+        if opts.has("fsp_repart_approach"):
+            self.set_repart_approach(opts.get("fsp_repart_approach"))
         if opts.has("fsp_verbosity"):
             self.verbosity = opts.get_int("fsp_verbosity")
         if opts.has("fsp_log_events"):
@@ -264,6 +281,53 @@ class FspSolverMultiSinks:
                                    self.constraints,
                                    init_states=self._init_states)
             self._space.expand()
+            self._maybe_partition(force=True)
+
+    def _maybe_partition(self, force: bool = False) -> bool:
+        """Dynamic load balancing of the compressed (ELL) state list.
+
+        Reference semantics: ``StateSetConstrained::Expand`` re-partitions
+        whenever the state count grew >20% since the last balance
+        (``StateSetConstrained.cpp:213-218`` -> ``StatePartitioner::
+        Partition``, ``StatePartitionerBase.cpp:36-67``).  Here a GRAPH/
+        HYPERGRAPH partition means a bandwidth-reducing reordering of the
+        state list (see :mod:`..statespace.partitioner`): a contiguous
+        equal split of the reordered axis then has a thin boundary cut, so
+        ``ShardedEllOperator``'s halo stays surface-sized.  Weighted
+        boundaries degenerate to equal counts on this backend — every ELL
+        row costs exactly R gather+FMA lanes regardless of how many
+        neighbors exist, unlike the reference's variable-length sparse
+        rows — and GSPMD requires equal shards anyway.
+
+        The box backend's layout is structural (position = coordinates);
+        partitioning does not apply, exactly as the reference's BLOCK
+        layout of a dense enumeration would be a no-op.
+        """
+        if self._backend_used == "box":
+            return False
+        n = self._space.num_states
+        last = getattr(self, "_n_last_partition", 0)
+        if not force and n <= self.lb_threshold * last:
+            return False
+        self._n_last_partition = n
+        if self.partitioning == PartitioningType.BLOCK:
+            return False         # insertion order IS the BLOCK layout
+        n_parts = self.mesh.devices.size if self.mesh is not None else 1
+        if n_parts <= 1:
+            return False         # reference: single rank never rebalances
+        from ..statespace.partitioner import StatePartitioner
+        part = StatePartitioner(self.partitioning, self.repart_approach)
+        prev = (np.arange(n)
+                if self.repart_approach != PartitioningApproach.FROMSCRATCH
+                else None)
+        res = part.partition(self._space.states, self.model.stoichiometry,
+                             n_parts, state2index=self._space.state2index,
+                             prev_order=prev)
+        self._space.reorder(res.order)
+        if self.verbosity:
+            print(f"[fsp] re-partitioned {n} states "
+                  f"({self.partitioning.value}/{self.repart_approach.value})")
+        return True
 
     def _build_operator(self):
         if self._backend_used == "box":
@@ -381,6 +445,7 @@ class FspSolverMultiSinks:
                 self.constraints = self._space.constraints
                 self._space.expand()
                 self._escalate_if_stuck(n_before, to_expand)
+                self._maybe_partition()
                 capacity_grew = True
         if capacity_grew:
             with self.events.timed(EVT_MATGEN):
@@ -585,6 +650,7 @@ class FspSolverMultiSinks:
     SetOdeTolerances = set_ode_tolerances
     SetKrylovDimRange = set_krylov_dim_range
     SetLoadBalancingMethod = set_load_balancing_method
+    SetRepartApproach = set_repart_approach
     SetVerbosity = set_verbosity
     SetFromOptions = set_from_options
     SetUp = set_up

@@ -181,6 +181,24 @@ class StateSet:
     def set_bounds(self, new_bounds) -> None:
         self.constraints = self.constraints.with_bounds(new_bounds)
 
+    def reorder(self, perm) -> None:
+        """Physically reorder the states to a new global ordering.
+
+        TPU analogue of Zoltan auto-migration moving state columns between
+        ranks (reference ``StatePartitionerBase.cpp:186-239``): here the
+        ordering IS the layout (position = global index), so migration is
+        a host-side permutation plus a directory rebuild; GSPMD moves the
+        actual device data when the re-ordered operator is assembled.
+        """
+        perm = np.asarray(perm, dtype=np.int64)
+        if perm.shape[0] != self.num_states:
+            raise StateSpaceError(
+                f"permutation length {perm.shape[0]} != num_states "
+                f"{self.num_states}")
+        self.states = np.ascontiguousarray(self.states[perm])
+        self.status = self.status[perm]
+        self._reindex()
+
     def copy_states(self) -> np.ndarray:
         """Reference CopyStatesOnProc."""
         return self.states.copy()

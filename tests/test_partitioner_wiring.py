@@ -1,0 +1,113 @@
+"""Dynamic load balancing wired into solves (reference semantics:
+re-partition when the state set grew >20%, StateSetConstrained.cpp:213-218
+-> StatePartitioner::Partition, StatePartitionerBase.cpp:36-67).
+
+Validates (a) the GRAPH ordering actually shrinks the sharded halo after
+an expansion scrambles locality, (b) the >20% growth trigger, and (c) a
+re-partitioned sharded solve still matches the single-device solution.
+"""
+import numpy as np
+import pytest
+
+import pacmensl_tpu as pm
+from pacmensl_tpu.parallel.mesh import make_mesh
+from pacmensl_tpu.parallel.halo_ell import ShardedEllOperator
+from pacmensl_tpu.statespace.constraints import ConstraintSet
+from pacmensl_tpu.statespace.state_set import StateSet
+from pacmensl_tpu.statespace.partitioner import (
+    StatePartitioner, PartitioningType, PartitioningApproach)
+
+
+def _expanded_toggle_set():
+    """Toggle state set whose second expansion appended a shell of states
+    at the tail — the locality-scrambled layout every FSP solve reaches."""
+    b = pm.models.toggle()
+    cs = ConstraintSet(None, [15, 15])
+    ss = StateSet(b.model.stoichiometry, cs, init_states=b.x0)
+    ss.expand()
+    ss.set_bounds([31, 31])
+    ss.expand()
+    return b, ss
+
+
+def test_graph_partition_shrinks_halo():
+    """VERDICT item 3 'done' criterion: ShardedEllOperator.halo_width
+    shrinks under GRAPH vs BLOCK on a 2-D model."""
+    b, ss = _expanded_toggle_set()
+    mesh = make_mesh(8)
+    halo_block = ShardedEllOperator(b.model, ss, mesh).halo_width
+
+    part = StatePartitioner(PartitioningType.GRAPH)
+    res = part.partition(ss.states, b.model.stoichiometry, 8,
+                         state2index=ss.state2index)
+    ss.reorder(res.order)
+    halo_graph = ShardedEllOperator(b.model, ss, mesh).halo_width
+    assert halo_graph < halo_block, (halo_graph, halo_block)
+
+
+def test_reorder_preserves_set_and_lookup():
+    b, ss = _expanded_toggle_set()
+    states_before = {tuple(s) for s in ss.states}
+    perm = np.random.default_rng(0).permutation(ss.num_states)
+    ss.reorder(perm)
+    assert {tuple(s) for s in ss.states} == states_before
+    idx = ss.state2index(ss.states)
+    np.testing.assert_array_equal(idx, np.arange(ss.num_states))
+
+
+def _ell_solver(mesh, ptype="block"):
+    b = pm.models.toggle()
+    s = pm.FspSolverMultiSinks(backend="ell", odes_type="krylov", mesh=mesh)
+    s.set_model(b.model)
+    s.set_constraints(b.constraint, b.bounds, b.expansion_factors)
+    s.set_initial_distribution(b.x0, b.p0)
+    s.set_load_balancing_method(ptype)
+    return s
+
+
+def test_rebalance_trigger_threshold():
+    """The lb_threshold analogue: no repartition below 20% growth, a
+    repartition above it."""
+    s = _ell_solver(make_mesh(8), "graph")
+    s.set_up()
+    n0 = s._n_last_partition
+    assert n0 == s.num_states > 0
+
+    # sub-threshold growth: nothing happens
+    assert not s._maybe_partition()
+    assert s._n_last_partition == n0
+
+    # super-threshold growth: repartition fires and resets the watermark
+    s._space.set_bounds(np.asarray(s.constraints.bounds) * 4)
+    s.constraints = s._space.constraints
+    s._space.expand()
+    assert s.num_states > 1.2 * n0
+    assert s._maybe_partition()
+    assert s._n_last_partition == s.num_states
+
+    # BLOCK never reorders (insertion order is the BLOCK layout)
+    s2 = _ell_solver(make_mesh(8), "block")
+    s2.set_up()
+    states0 = s2._space.copy_states()
+    assert not s2._maybe_partition(force=True)
+    np.testing.assert_array_equal(s2._space.states, states0)
+
+
+@pytest.mark.parametrize("approach", ["from_scratch", "repart"])
+def test_graph_partitioned_solve_matches_single(approach):
+    """A sharded GRAPH-partitioned solve (with expansion epochs crossing
+    the rebalance trigger) equals the single-device BLOCK solve."""
+    d1 = _ell_solver(None).solve(0.5, 1e-4)
+
+    s8 = _ell_solver(make_mesh(8), "graph")
+    s8.set_repart_approach(approach)
+    d8 = s8.solve(0.5, 1e-4)
+
+    assert d1.num_states == d8.num_states
+    # state orderings differ after the reorder: compare keyed by state
+    k1 = {tuple(x): p for x, p in zip(d1.states, d1.p)}
+    k8 = {tuple(x): p for x, p in zip(d8.states, d8.p)}
+    assert k1.keys() == k8.keys()
+    for k in k1:
+        np.testing.assert_allclose(k8[k], k1[k], rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(d8.sinks, d1.sinks, rtol=1e-10, atol=1e-14)
