@@ -51,8 +51,10 @@ def main(argv=None):
                    d.marginal(i), delimiter=",")
     tr = s.step_trace
     np.savetxt(os.path.join(out_dir, "hog1p_perf.csv"),
-               np.column_stack([tr.model_time, tr.n_eqs, tr.wall_time]),
-               delimiter=",", header="model_time,n_eqs,wall_time")
+               np.column_stack([tr.model_time, tr.step_h, tr.aux,
+                                tr.n_eqs, tr.wall_time]),
+               delimiter=",",
+               header="model_time,step_h,m_or_order,n_eqs,epoch_wall")
 
 
 if __name__ == "__main__":

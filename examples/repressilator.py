@@ -44,8 +44,10 @@ def run_stage(name, bundle, constraint, bounds, factors, opts, t_final,
     # per-ODE-step trace CSV (reference FiniteProblemSolverPerfInfo dump)
     tr = s.step_trace
     np.savetxt(os.path.join(out_dir, f"repressilator_perf_{name}.csv"),
-               np.column_stack([tr.model_time, tr.n_eqs, tr.wall_time]),
-               delimiter=",", header="model_time,n_eqs,wall_time")
+               np.column_stack([tr.model_time, tr.step_h, tr.aux,
+                                tr.n_eqs, tr.wall_time]),
+               delimiter=",",
+               header="model_time,step_h,m_or_order,n_eqs,epoch_wall")
     return d, wall
 
 

@@ -33,7 +33,8 @@ from ..config import DEFAULT_DTYPE
 from ..models.model import Model
 from ..sys.errors import SetupError, IntegratorError, StateSpaceError
 from ..sys.events import (EventLog, StepTrace, EVT_SETUP, EVT_PARTITION,
-                          EVT_MATGEN, EVT_ODESOLVE, EVT_SCATTER, EVT_TOTAL)
+                          EVT_MATGEN, EVT_ODESOLVE, EVT_RHS, EVT_SCATTER,
+                          EVT_TOTAL)
 from ..sys.options import Options
 from ..statespace.constraints import ConstraintSet
 from ..statespace.box_space import BoxStateSpace
@@ -570,7 +571,16 @@ class FspSolverMultiSinks:
                 self._t_now = float(res.t)
                 self.sinks_ = np.asarray(jax.device_get(res.y.sinks))
                 if self.log_events:
-                    self.step_trace.record(self._t_now, self.num_states)
+                    # drain the device-recorded per-accepted-step trace and
+                    # the RHS-evaluation count/FLOPs (reference per-step
+                    # logging OdeSolverBase.cpp:105-132 + RHS event)
+                    n_steps = int(jax.device_get(res.stats.n_steps))
+                    self.step_trace.record_epoch(n_steps, res.trace,
+                                                 self.num_states)
+                    n_mv = int(jax.device_get(res.stats.n_matvecs))
+                    self.events.add_count(
+                        EVT_RHS, n_mv,
+                        flops=n_mv * self._operator.local_mv_flops())
                 if status == STATUS_FSP_STOP:
                     viol = np.asarray(jax.device_get(res.viol_excess))
                     to_expand = viol >= 0.0

@@ -76,12 +76,47 @@ class SolveStats(NamedTuple):
     n_matvecs: jnp.ndarray
 
 
+class DeviceStepTrace(NamedTuple):
+    """Per-accepted-step trace recorded *inside* the jitted while-loop
+    (reference per-step perf logging, ``OdeSolverBase.cpp:105-132``) into a
+    fixed-capacity ring buffer: entry ``i = step % capacity`` holds the
+    step's end time, step size, and a method-specific integer (Krylov
+    basis dimension m / BDF order / RK stage count).  When an epoch takes
+    more than ``capacity`` steps the oldest entries are overwritten;
+    chronological order is reconstructed host-side from the step count."""
+    t: jnp.ndarray            # [cap] model time at step end
+    h: jnp.ndarray            # [cap] accepted step size
+    aux: jnp.ndarray          # [cap] int32 m / order / stages
+
+
+def make_trace(cap: int, dtype) -> Optional[DeviceStepTrace]:
+    if cap <= 0:
+        return None
+    return DeviceStepTrace(t=jnp.zeros((cap,), dtype),
+                           h=jnp.zeros((cap,), dtype),
+                           aux=jnp.zeros((cap,), jnp.int32))
+
+
+def trace_record(tr: Optional[DeviceStepTrace], n_steps, accept, t, h, aux
+                 ) -> Optional[DeviceStepTrace]:
+    """Record one (possibly conditional) accepted step into the ring."""
+    if tr is None:
+        return None
+    i = jnp.mod(n_steps, tr.t.shape[0])
+    return DeviceStepTrace(
+        t=tr.t.at[i].set(jnp.where(accept, t, tr.t[i])),
+        h=tr.h.at[i].set(jnp.where(accept, h, tr.h[i])),
+        aux=tr.aux.at[i].set(jnp.where(accept, jnp.asarray(aux, jnp.int32),
+                                       tr.aux[i])))
+
+
 class SolveResult(NamedTuple):
     y: FspVector
     t: jnp.ndarray
     status: jnp.ndarray       # 0 ok / 1 fsp stop / -1 failure
     stats: SolveStats
     viol_excess: jnp.ndarray  # [n_c] running max of stop-check excesses
+    trace: Optional[DeviceStepTrace] = None
 
 
 # Status codes (reference OdeSolverBase.h:114)

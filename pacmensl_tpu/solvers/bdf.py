@@ -29,7 +29,7 @@ from jax import lax
 from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo
 from ..ops.gmres import gmres
-from .base import (wrap_stop_check,
+from .base import (wrap_stop_check, make_trace, trace_record,
                    MatVec, StopCheck, SolveResult, SolveStats,
                    STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE)
 
@@ -75,6 +75,7 @@ class BdfSolver:
                  gmres_tol: Optional[float] = None,
                  max_steps: int = 10_000_000,
                  stop_check: Optional[StopCheck] = None,
+                 trace_cap: int = 4096,
                  dtype=None):
         self.matvec = matvec
         self.dtype = dtype or DEFAULT_DTYPE
@@ -87,6 +88,7 @@ class BdfSolver:
         self.gmres_tol = float(gmres_tol if gmres_tol is not None
                                else (1.0e-5 if f32 else 1.0e-10))
         self.max_steps = int(max_steps)
+        self.trace_cap = int(trace_cap)
         self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
@@ -191,7 +193,7 @@ class BdfSolver:
 
         def step(carry):
             (D, t, h, order, n_eq, status, n_steps, n_rej, n_mv, stop,
-             n_consec, viol) = carry
+             n_consec, viol, tr) = carry
             # truncate the final step; D encodes the step size, so rescale
             # (as scipy BDF does when hitting t_bound)
             h_clamped = jnp.minimum(h, t_final - t)
@@ -295,6 +297,7 @@ class BdfSolver:
                 lambda args: args[0],
                 (D_out, order_out))
 
+            tr = trace_record(tr, n_steps, advance, t_new, h, order)
             n_steps = n_steps + jnp.where(advance, 1, 0)
             n_rej = n_rej + jnp.where(accept, 0, 1)
             n_consec = jnp.where(accept, 0, n_consec + 1)
@@ -309,11 +312,11 @@ class BdfSolver:
                                (status == STATUS_OK),
                                STATUS_FAILURE, status)
             return (D_out, t_out, h_new, order_out, n_eq_out, status,
-                    n_steps, n_rej, n_mv, stop, n_consec, viol)
+                    n_steps, n_rej, n_mv, stop, n_consec, viol, tr)
 
         def cond(carry):
-            (D, t, h, order, n_eq, status, n_steps, n_rej, n_mv, stop,
-             n_consec, viol) = carry
+            t, status, n_steps, n_rej, stop = \
+                carry[1], carry[5], carry[6], carry[7], carry[9]
             return (t < t_final) & (status == STATUS_OK) & (stop == 0) & \
                 (n_steps + n_rej < self.max_steps)
 
@@ -323,9 +326,10 @@ class BdfSolver:
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                   jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
                   jnp.asarray(0, jnp.int32),
-                  jnp.full((n_c,), -jnp.inf, dtype))
+                  jnp.full((n_c,), -jnp.inf, dtype),
+                  make_trace(self.trace_cap, dtype))
         (D, t, h, order, n_eq, status, n_steps, n_rej, n_mv, stop,
-         _n_consec, viol) = lax.while_loop(cond, step, carry0)
+         _n_consec, viol, tr) = lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
         # exhausted the step budget without reaching t_final: fatal
@@ -333,4 +337,4 @@ class BdfSolver:
                            STATUS_FAILURE, status)
         return SolveResult(y=vo.basis_get(D, 0), t=t, status=status,
                            stats=SolveStats(n_steps, n_rej, n_mv),
-                           viol_excess=viol)
+                           viol_excess=viol, trace=tr)

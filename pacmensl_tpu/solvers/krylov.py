@@ -40,7 +40,7 @@ from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo
 from .base import (MatVec, StopCheck, SolveResult, SolveStats,
                    STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE,
-                   wrap_stop_check)
+                   wrap_stop_check, make_trace, trace_record)
 
 
 class KrylovSolver:
@@ -60,6 +60,7 @@ class KrylovSolver:
                  max_steps: int = 1_000_000,
                  rhs_cost: float = 1.0e4,
                  stop_check: Optional[StopCheck] = None,
+                 trace_cap: int = 4096,
                  dtype=None):
         self.matvec = matvec
         self.dtype = dtype or DEFAULT_DTYPE
@@ -79,6 +80,7 @@ class KrylovSolver:
         self.max_reject = int(max_reject)
         self.max_steps = int(max_steps)
         self.rhs_cost = float(rhs_cost)
+        self.trace_cap = int(trace_cap)
         self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
@@ -158,7 +160,7 @@ class KrylovSolver:
 
         def step(carry):
             (y, t_now, t_step_next, m_next, first_init,
-             status, n_steps, n_rej, n_mv, stop, viol) = carry
+             status, n_steps, n_rej, n_mv, stop, viol, tr) = carry
 
             m = jnp.clip(m_next, self.m_min, self.m_max)
             beta = vo.norm2(y)
@@ -305,13 +307,14 @@ class KrylovSolver:
                 hv_cond, hv_body,
                 (t_new, y_new, excess0, 0, jnp.int32(0), viol))
             stop = jnp.maximum(stop, stop2)
+            tr = trace_record(tr, n_steps, True, t_new, t_new - t_now, m)
 
             return (y_new, t_new, t_step_next3, m_next2, jnp.bool_(True),
-                    status, n_steps + 1, n_rej, n_mv, stop, viol)
+                    status, n_steps + 1, n_rej, n_mv, stop, viol, tr)
 
         def cond(carry):
-            (y, t_now, *_rest, status, n_steps, n_rej, n_mv, stop,
-             viol) = carry
+            t_now, status, n_steps, stop = \
+                carry[1], carry[5], carry[6], carry[9]
             return (t_now < t_final) & (status == STATUS_OK) & \
                 (stop == 0) & (n_steps < self.max_steps)
 
@@ -320,8 +323,9 @@ class KrylovSolver:
                   jnp.asarray(STATUS_OK, jnp.int32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                  jnp.full((n_c,), -jnp.inf, dtype))
-        (y, t, _, _, _, status, n_steps, n_rej, n_mv, stop, viol) = \
+                  jnp.full((n_c,), -jnp.inf, dtype),
+                  make_trace(self.trace_cap, dtype))
+        (y, t, _, _, _, status, n_steps, n_rej, n_mv, stop, viol, tr) = \
             lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
@@ -329,4 +333,4 @@ class KrylovSolver:
                            STATUS_FAILURE, status)
         return SolveResult(y=y, t=t, status=status,
                            stats=SolveStats(n_steps, n_rej, n_mv),
-                           viol_excess=viol)
+                           viol_excess=viol, trace=tr)

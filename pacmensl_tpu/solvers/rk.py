@@ -24,7 +24,7 @@ from jax import lax
 
 from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo
-from .base import (wrap_stop_check,
+from .base import (wrap_stop_check, make_trace, trace_record,
                    MatVec, StopCheck, SolveResult, SolveStats,
                    STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE)
 
@@ -55,6 +55,7 @@ class RKSolver:
                  safety: float = 0.9,
                  max_steps: int = 10_000_000,
                  stop_check: Optional[StopCheck] = None,
+                 trace_cap: int = 4096,
                  dtype=None):
         self.matvec = matvec
         self.dtype = dtype or DEFAULT_DTYPE
@@ -65,6 +66,7 @@ class RKSolver:
         self.atol = float(atol)
         self.safety = float(safety)
         self.max_steps = int(max_steps)
+        self.trace_cap = int(trace_cap)
         self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
@@ -153,7 +155,7 @@ class RKSolver:
 
         def step(carry):
             (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve,
-             viol) = carry
+             viol, tr) = carry
             h = jnp.minimum(h, t_final - t)
             y5, err, n_stage = self._rk_step(mv, t, y, h)
             n_mv = n_mv + n_stage
@@ -186,22 +188,24 @@ class RKSolver:
                                         jnp.where(accept, h, h_new)))
             n_halve = jnp.where(violated, n_halve + 1,
                                 jnp.where(accept2, 0, n_halve))
+            tr = trace_record(tr, n_steps, accept2, t + h, h, 7)
             n_steps = n_steps + jnp.where(accept2, 1, 0)
             n_rej = n_rej + jnp.where(accept2 | give_up, 0, 1)
             return (y_out, t_out, h_out, status, n_steps, n_rej, n_mv,
-                    stop, n_halve, viol)
+                    stop, n_halve, viol, tr)
 
         def cond(carry):
-            (y, t, h, status, n_steps, n_rej, n_mv, stop, n_halve,
-             viol) = carry
+            t, status, n_steps, n_rej, stop = \
+                carry[1], carry[3], carry[4], carry[5], carry[7]
             return (t < t_final) & (status == STATUS_OK) & (stop == 0) & \
                 (n_steps + n_rej < self.max_steps)
 
         carry0 = (y0, t0, h_init, jnp.asarray(STATUS_OK, jnp.int32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                   jnp.asarray(2, jnp.int32), jnp.asarray(0, jnp.int32),
-                  jnp.asarray(0, jnp.int32), jnp.full((n_c,), -jnp.inf, dtype))
-        (y, t, _, status, n_steps, n_rej, n_mv, stop, _, viol) = \
+                  jnp.asarray(0, jnp.int32), jnp.full((n_c,), -jnp.inf, dtype),
+                  make_trace(self.trace_cap, dtype))
+        (y, t, _, status, n_steps, n_rej, n_mv, stop, _, viol, tr) = \
             lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
@@ -209,4 +213,4 @@ class RKSolver:
                            STATUS_FAILURE, status)
         return SolveResult(y=y, t=t, status=status,
                            stats=SolveStats(n_steps, n_rej, n_mv),
-                           viol_excess=viol)
+                           viol_excess=viol, trace=tr)

@@ -36,19 +36,66 @@ EVT_TOTAL = "Solving"
 class EventRecord:
     count: int = 0
     total_s: float = 0.0
+    flops: float = 0.0
 
 
 @dataclass
 class StepTrace:
-    """Per-accepted-step trace (reference FiniteProblemSolverPerfInfo)."""
+    """Per-accepted-step trace (reference FiniteProblemSolverPerfInfo,
+    ``OdeSolverBase.cpp:105-132``): one row per accepted integrator step —
+    model time at step end, step size, method detail (Krylov m / BDF order
+    / RK stages), active equation count, and the epoch's host wall clock.
+
+    Steps are recorded *on device* into a ring buffer carried through the
+    jitted integrator loop (:class:`~..solvers.base.DeviceStepTrace`) and
+    drained here once per epoch; per-step host wall time is not observable
+    inside a fused XLA while-loop, so ``wall_time`` holds the epoch-end
+    timestamp for each of that epoch's steps."""
     model_time: List[float] = field(default_factory=list)
+    step_h: List[float] = field(default_factory=list)
+    aux: List[int] = field(default_factory=list)
     n_eqs: List[int] = field(default_factory=list)
     wall_time: List[float] = field(default_factory=list)
+    #: steps lost to ring-buffer overwrite (oldest-first), for honesty
+    truncated: int = 0
 
     def record(self, t: float, n_eqs: int):
+        """Record a single step observed host-side (epoch-granularity
+        fallback when no device trace is available)."""
         self.model_time.append(float(t))
+        self.step_h.append(float("nan"))
+        self.aux.append(0)
         self.n_eqs.append(int(n_eqs))
         self.wall_time.append(time.perf_counter())
+
+    def record_epoch(self, n_steps: int, trace, n_eqs: int):
+        """Drain one epoch's device-recorded ring buffer (chronological;
+        on overflow the oldest steps are dropped and counted in
+        ``truncated``)."""
+        if trace is None:
+            return
+        import numpy as np
+        n_steps = int(n_steps)
+        if n_steps <= 0:
+            return
+        t = np.asarray(jax.device_get(trace.t), dtype=float)
+        h = np.asarray(jax.device_get(trace.h), dtype=float)
+        aux = np.asarray(jax.device_get(trace.aux), dtype=int)
+        cap = t.shape[0]
+        if n_steps > cap:                  # ring wrapped
+            start = n_steps % cap
+            order = np.r_[start:cap, 0:start]
+            t, h, aux = t[order], h[order], aux[order]
+            self.truncated += n_steps - cap
+            k = cap
+        else:
+            k = n_steps
+        wall = time.perf_counter()
+        self.model_time.extend(t[:k].tolist())
+        self.step_h.extend(h[:k].tolist())
+        self.aux.extend(aux[:k].tolist())
+        self.n_eqs.extend([int(n_eqs)] * k)
+        self.wall_time.extend([wall] * k)
 
     @property
     def n_steps(self) -> int:
@@ -81,6 +128,20 @@ class EventLog:
         rec.count += 1
         rec.total_s += seconds
 
+    def add_count(self, name: str, count: int, seconds: float = 0.0,
+                  flops: float = 0.0):
+        """Accumulate an event whose occurrences happen inside a fused
+        on-device loop (e.g. RHS evaluations): the count and FLOPs are
+        exact (from the integrator's carried stats, the reference's
+        PetscLogFlops analogue, FspMatrixBase.cpp:429-444); wall seconds
+        are attributable only if the caller measured them."""
+        if not self.enabled:
+            return
+        rec = self.events.setdefault(name, EventRecord())
+        rec.count += int(count)
+        rec.total_s += float(seconds)
+        rec.flops += float(flops)
+
     def reduce(self):
         """(min, max, sum) per event; single-host => all equal.
 
@@ -90,17 +151,18 @@ class EventLog:
                 for k, v in self.events.items()}
 
     def report(self) -> str:
-        lines = [f"{'event':<24}{'count':>8}{'total_s':>14}"]
+        lines = [f"{'event':<24}{'count':>10}{'total_s':>14}{'gflops':>10}"]
         for name, rec in sorted(self.events.items()):
-            lines.append(f"{name:<24}{rec.count:>8}{rec.total_s:>14.6f}")
+            lines.append(f"{name:<24}{rec.count:>10}{rec.total_s:>14.6f}"
+                         f"{rec.flops / 1e9:>10.3f}")
         return "\n".join(lines)
 
     def dump_csv(self, path: str):
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["event", "count", "total_s"])
+            w.writerow(["event", "count", "total_s", "flops"])
             for name, rec in sorted(self.events.items()):
-                w.writerow([name, rec.count, rec.total_s])
+                w.writerow([name, rec.count, rec.total_s, rec.flops])
 
 
 @contextmanager
