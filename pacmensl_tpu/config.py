@@ -39,9 +39,17 @@ if _X64:
 # arguments, not baked constants) hits this cache instead of recompiling.
 # Compiles through the TPU tunnel cost tens of seconds, so this is load-
 # bearing for solve latency, not just a convenience.
+#
+# TPU ONLY.  XLA:CPU executables with collectives (multi-device virtual
+# meshes) deadlock when loaded back from the persistent cache: all
+# participants stall at a collective rendezvous and the hardcoded 40 s
+# termination timeout aborts the process.  Reproduced deterministically —
+# fresh compile passes, cache hit aborts — so the cache is enabled only
+# when the default platform is a TPU (where it is also the only place it
+# pays for itself).
 _CACHE_DIR = os.environ.get("PACMENSL_TPU_CACHE_DIR",
                             "/tmp/pacmensl_jax_cache")
-if _CACHE_DIR:
+if _CACHE_DIR and _default_platform_is_tpu():
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -19,7 +19,7 @@ packed bitmasks (one uint32 per state per reaction).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 import jax
@@ -35,6 +35,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _capacity_ladder(n: int, quantum: int) -> int:
+    """Padded capacity: the next rung of a 1.5x geometric ladder, in
+    multiples of ``quantum``.  FSP expansion epochs at the same rung keep
+    every array shape stable, so the jitted solve program is reused — the
+    analogue of the reference's cheap PETSc re-assembly
+    (FspMatrixConstrained.cpp:121-282) under XLA's static-shape rule."""
+    c = quantum
+    while c < n:
+        c = _round_up(int(c * 3 / 2), quantum)
+    return c
+
+
+class EllOpData(NamedTuple):
+    """Per-epoch operator arrays (a jax pytree; jit *argument*, never a
+    closed-over constant — same epoch-stable-compilation design as
+    :class:`~.box_operator.BoxOpData`)."""
+    src_idx: jnp.ndarray    # [R, n_pad] int32 gather source per reaction
+    off_val: jnp.ndarray    # [R, n_pad] off-diagonal a_r(x - s_r)
+    diag_val: jnp.ndarray   # [R, n_pad] outflow a_r(x)
+    sink_bits: jnp.ndarray  # [R, n_pad] uint32 packed violated-constraints
+
+
 class EllOperator:
     """Truncated CME generator over an explicit state list."""
 
@@ -43,6 +65,7 @@ class EllOperator:
                  state_set: StateSet,
                  dtype=None,
                  pad_to: int = 128,
+                 capacity_floor: int = 0,
                  enable_reactions: Optional[Sequence[int]] = None):
         self.model = model
         self.state_set = state_set
@@ -50,9 +73,24 @@ class EllOperator:
         self.enable_reactions = tuple(
             enable_reactions if enable_reactions is not None
             else range(model.num_reactions))
+        self._pad_quantum = int(pad_to)
         self.n_states = state_set.num_states
-        self.n_pad = max(_round_up(self.n_states, pad_to), pad_to)
+        self.n_pad = max(_capacity_ladder(self.n_states, self._pad_quantum),
+                         int(capacity_floor))
         self._assemble()
+
+    def reassemble(self) -> bool:
+        """Refresh the operator arrays after the state set changed
+        (expansion epoch).  Returns True when the padded capacity had to
+        grow — i.e. array shapes changed and downstream jitted programs
+        must recompile; within-capacity epochs return False and reuse the
+        compiled solve via the :meth:`data` pytree argument."""
+        self.n_states = self.state_set.num_states
+        grew = self.n_states > self.n_pad
+        if grew:
+            self.n_pad = _capacity_ladder(self.n_states, self._pad_quantum)
+        self._assemble()
+        return grew
 
     def _assemble(self):
         states = self.state_set.states            # [n, S] host
@@ -97,28 +135,38 @@ class EllOperator:
         self.diag_val = jnp.asarray(diag_val, self.dtype)
         self.sink_bits = jnp.asarray(sink_bits)
         self._nnz = int((off_val != 0).sum() + n)
+        self._data = EllOpData(src_idx=self.src_idx, off_val=self.off_val,
+                               diag_val=self.diag_val,
+                               sink_bits=self.sink_bits)
+
+    def data(self) -> EllOpData:
+        """Epoch data to thread through jitted solves as an argument."""
+        return self._data
 
     # ------------------------------------------------------------ action
-    def action(self, t, y: FspVector) -> FspVector:
+    def action(self, t, y: FspVector,
+               data: Optional[EllOpData] = None) -> FspVector:
+        if data is None:
+            data = self._data
         p = y.p                                    # [n_pad]
         c_full = self.model.coefficients(t, self.dtype)
         c = jnp.asarray(
             [c_full[r] for r in self.enable_reactions])  # [R]
 
-        gathered = self.off_val * p[self.src_idx]        # [R, n_pad]
-        dp = c @ gathered - p * (c @ self.diag_val)
+        gathered = data.off_val * p[data.src_idx]        # [R, n_pad]
+        dp = c @ gathered - p * (c @ data.diag_val)
 
         n_c = self.num_constraints
         # [R, n_c, n_pad] bit test fused into the reduction
         bit = jnp.arange(n_c, dtype=jnp.uint32)
-        viol = ((self.sink_bits[:, None, :] >> bit[None, :, None]) & 1
+        viol = ((data.sink_bits[:, None, :] >> bit[None, :, None]) & 1
                 ).astype(self.dtype)
-        weighted = (c[:, None, None] * self.diag_val[:, None, :]) * viol
+        weighted = (c[:, None, None] * data.diag_val[:, None, :]) * viol
         dsinks = jnp.tensordot(weighted, p, axes=([2], [0])).sum(axis=0)
         return FspVector(p=dp, sinks=dsinks)
 
-    def __call__(self, t, y):
-        return self.action(t, y)
+    def __call__(self, t, y, data=None):
+        return self.action(t, y, data)
 
     def diagonal(self, t=0.0) -> jnp.ndarray:
         """diag(A(t)) = -sum_r c_r(t) a_r(x) over the padded vector."""

@@ -43,6 +43,8 @@ try:                                     # jax >= 0.6
 except ImportError:                      # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
+from typing import NamedTuple
+
 from ..sys.environment import STATE_AXIS
 from ..models.model import Model
 from ..statespace.state_set import StateSet
@@ -54,6 +56,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class ShardedEllData(NamedTuple):
+    """Per-epoch sharded operator arrays + exchange plan (jit argument,
+    so within-capacity expansion epochs reuse the compiled solve)."""
+    send_idx: jnp.ndarray   # [D, D, S] int32 per-pair send gather plan
+    src_uni: jnp.ndarray    # [D, R, L] int32 unified gather indices
+    off: jnp.ndarray        # [D, R, L] off-diagonal values
+    diag: jnp.ndarray       # [D, R, L] outflow values
+    bits: jnp.ndarray       # [D, R, L] uint32 sink bitmasks
+
+
 class ShardedEllOperator(EllOperator):
     """ELL CME operator with explicit halo exchange over a 1-D mesh."""
 
@@ -62,14 +74,31 @@ class ShardedEllOperator(EllOperator):
                  state_set: StateSet,
                  mesh: Mesh,
                  dtype=None,
+                 capacity_floor: int = 0,
+                 halo_floor: int = 0,
                  enable_reactions: Optional[Sequence[int]] = None):
         self.mesh = mesh
         self._D = int(mesh.devices.size)
+        #: monotone halo padding: within-capacity epochs whose halo stays
+        #: under the floor keep the [D, D, S] plan shape (no recompile)
+        self._halo_floor = int(halo_floor)
+        self._smapped_key = None
         # per-shard length divisible by the 128-lane register width
         super().__init__(model, state_set, dtype=dtype,
                          pad_to=128 * self._D,
+                         capacity_floor=capacity_floor,
                          enable_reactions=enable_reactions)
         self._build_shards()
+
+    def reassemble(self) -> bool:
+        grew = super().reassemble()
+        shapes_before = None if grew else jax.tree_util.tree_map(
+            lambda a: a.shape, self._sh_data)
+        self._build_shards()
+        if not grew:
+            grew = shapes_before != jax.tree_util.tree_map(
+                lambda a: a.shape, self._sh_data)
+        return grew
 
     # --------------------------------------------------------- shard plan
     def _build_shards(self):
@@ -98,7 +127,9 @@ class ShardedEllOperator(EllOperator):
                 reqs[d][o] = g
                 s_max = max(s_max, g.size)
         S = _round_up(s_max, 8)
-        self.halo_width = S
+        self.halo_width = S                       # true need (for reports)
+        self._halo_floor = max(self._halo_floor, S)
+        S = self._halo_floor                      # padded (shape-stable)
 
         # send plan: on device o, send[e] = p_local[send_idx[o, e]]
         send_idx = np.zeros((D, D, S), np.int32)
@@ -130,17 +161,24 @@ class ShardedEllOperator(EllOperator):
 
         row = NamedSharding(self.mesh, P(STATE_AXIS))
         put = partial(jax.device_put, device=row)
-        self.sh_send_idx = put(jnp.asarray(send_idx))
-        self.sh_src_uni = put(jnp.asarray(src_uni))
-        self.sh_off = put(jnp.asarray(
-            shardify(np.asarray(jax.device_get(self.off_val))), self.dtype))
-        self.sh_diag = put(jnp.asarray(
-            shardify(np.asarray(jax.device_get(self.diag_val))), self.dtype))
-        self.sh_bits = put(jnp.asarray(
-            shardify(np.asarray(jax.device_get(self.sink_bits)))))
+        self._sh_data = ShardedEllData(
+            send_idx=put(jnp.asarray(send_idx)),
+            src_uni=put(jnp.asarray(src_uni)),
+            off=put(jnp.asarray(
+                shardify(np.asarray(jax.device_get(self.off_val))),
+                self.dtype)),
+            diag=put(jnp.asarray(
+                shardify(np.asarray(jax.device_get(self.diag_val))),
+                self.dtype)),
+            bits=put(jnp.asarray(
+                shardify(np.asarray(jax.device_get(self.sink_bits))))))
 
         n_c = self.num_constraints
         dtype = self.dtype
+        key = (self.shard_len, S, R, n_c)
+        if key == self._smapped_key:
+            return                      # shapes unchanged: keep compiled fn
+        self._smapped_key = key
 
         def local_mv(c, p_loc, send_ix, src_u, off_l, diag_l, bits_l):
             send_ix = send_ix[0]            # [D, S]
@@ -168,11 +206,17 @@ class ShardedEllOperator(EllOperator):
             out_specs=(P(STATE_AXIS), P()))
 
     # ------------------------------------------------------------ action
-    def action(self, t, y: FspVector) -> FspVector:
+    def data(self) -> ShardedEllData:
+        return self._sh_data
+
+    def action(self, t, y: FspVector,
+               data: Optional[ShardedEllData] = None) -> FspVector:
+        if data is None:
+            data = self._sh_data
         c_full = self.model.coefficients(t, self.dtype)
         c = jnp.asarray([c_full[r] for r in self.enable_reactions])
-        dp, dsinks = self._smapped(c, y.p, self.sh_send_idx, self.sh_src_uni,
-                                   self.sh_off, self.sh_diag, self.sh_bits)
+        dp, dsinks = self._smapped(c, y.p, data.send_idx, data.src_uni,
+                                   data.off, data.diag, data.bits)
         return FspVector(p=dp, sinks=dsinks.astype(y.sinks.dtype))
 
     def zero_vector(self) -> FspVector:
@@ -184,5 +228,6 @@ class ShardedEllOperator(EllOperator):
                                            self.dtype), rep))
 
     def comm_values_per_matvec(self) -> int:
-        """Values crossing ICI per matvec (for the scaling report)."""
-        return self._D * self._D * self.halo_width
+        """Values crossing ICI per matvec (for the scaling report);
+        counts the padded exchange actually wired."""
+        return self._D * self._D * self._halo_floor

@@ -19,9 +19,11 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: expansion epochs re-jit per shape; cache
-# makes suite re-runs and cross-test shape reuse fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pacmensl_jax_cache")
+# NOTE: no persistent compilation cache here — XLA:CPU executables with
+# collectives (the 8-device virtual mesh) deadlock at their rendezvous
+# when loaded back from the cache and abort the process after the
+# hardcoded 40 s timeout (reproduced deterministically).  pacmensl_tpu's
+# config enables the cache only on TPU platforms for the same reason.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pacmensl_tpu  # noqa: E402,F401  (sets x64 before array creation)
