@@ -19,6 +19,16 @@ import jax
 
 
 def _default_platform_is_tpu() -> bool:
+    """Platform probe that does NOT initialize the XLA backend when an
+    explicit platform is configured.  Initializing here would break
+    multi-host runs: ``jax.distributed.initialize`` must run before any
+    backend-initializing call, and this module executes at package import
+    (the reference's PACMENSLInit-before-everything has the same contract,
+    Sys.cpp:31-63).  'axon' is the tunneled-TPU plugin platform."""
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if plats:
+        first = plats.split(",")[0].strip().lower()
+        return "tpu" in first or first == "axon"
     try:
         d = jax.devices()[0]
         return d.platform == "tpu" or "tpu" in str(d.device_kind).lower()

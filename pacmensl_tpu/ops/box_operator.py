@@ -210,7 +210,8 @@ class BoxOperator:
         backend."""
         if getattr(self, "_sink_active_cache", None) is not None:
             return self._sink_active_cache
-        cpu = jax.devices("cpu")[0]
+        from ..sys.environment import local_cpu_device
+        cpu = local_cpu_device()
 
         def act(r):
             coords = coord_grid(self.shape)
@@ -276,7 +277,8 @@ class BoxOperator:
                 return (self._violation_field(r, bounds) != 0,
                         self._propensity_field(r).reshape(-1))
             self._shell_eval = jax.jit(shell_eval, static_argnums=0)
-        cpu = jax.devices("cpu")[0]
+        from ..sys.environment import local_cpu_device
+        cpu = local_cpu_device()
         bounds_cpu = jax.device_put(np.asarray(bounds), cpu)
         for k, r in enumerate(self.enable_reactions):
             with jax.default_device(cpu):

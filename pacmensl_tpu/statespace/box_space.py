@@ -213,7 +213,8 @@ class BoxStateSpace:
         # compile cache does not survive the tunnel), so compiling the
         # BFS while-loop remotely would dominate solve setup.  The mask
         # ships to the default device once, as data.
-        cpu = jax.devices("cpu")[0]
+        from ..sys.environment import local_cpu_device
+        cpu = local_cpu_device()
         with jax.default_device(cpu):
             mask_cpu, n, n_ok = self._mask_builder(
                 jax.device_put(np.asarray(self.constraints.bounds), cpu),

@@ -92,7 +92,8 @@ class ConstraintSet:
         :meth:`values_fn` / :meth:`satisfied_with` instead, which trace
         into the enclosing jitted program.
         """
-        cpu = jax.devices("cpu")[0]
+        from ..sys.environment import local_cpu_device
+        cpu = local_cpu_device()
         with jax.default_device(cpu):
             return jitted(jax.device_put(np.asarray(states), cpu))
 

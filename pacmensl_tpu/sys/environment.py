@@ -104,6 +104,17 @@ class Environment:
         fn()
 
 
+def local_cpu_device():
+    """The process-LOCAL host CPU device for assembly-time helper jits.
+
+    Multi-process safety: ``jax.devices("cpu")[0]`` is the *global* device
+     0, which on processes > 0 is non-addressable — committing assembly
+    scratch work to it raises (and would ship bytes over DCN if it
+    didn't).  Host-side sweeps must stay on this process's own CPU, like
+    the reference's per-rank local Armadillo scratch."""
+    return jax.local_devices(backend="cpu")[0]
+
+
 _default_env: Optional[Environment] = None
 
 

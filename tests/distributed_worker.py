@@ -1,0 +1,93 @@
+"""Worker for the 2-process jax.distributed test (spawned by
+test_distributed.py; not collected by pytest).
+
+Each process owns 4 virtual CPU devices; together they form an 8-device
+global mesh — the TPU-build analogue of running the reference under
+``mpirun -np 2`` (SURVEY.md §4: multi-process behavior is tested by
+actually running multi-process).  The worker builds the toggle state set
+deterministically, assembles the halo-exchange sharded ELL operator over
+the *global* mesh, runs one matvec whose all_to_all/psum collectives cross
+the process boundary, and checks the result against the host-side dense
+oracle available in every process.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    coordinator, pid = sys.argv[1], int(sys.argv[2])
+    from pacmensl_tpu.sys import environment as env
+    env.init(coordinator_address=coordinator, num_processes=2,
+             process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import pacmensl_tpu as pm
+    from pacmensl_tpu.parallel.halo_ell import ShardedEllOperator
+    from pacmensl_tpu.parallel.mesh import make_mesh
+    from pacmensl_tpu.ops.ell_operator import EllOperator
+    from pacmensl_tpu.ops.vecops import FspVector
+    from pacmensl_tpu.statespace.constraints import ConstraintSet
+    from pacmensl_tpu.statespace.state_set import StateSet
+    import jax.numpy as jnp
+
+    b = pm.models.toggle()
+    cs = ConstraintSet(b.constraint, b.bounds, b.expansion_factors)
+    ss = StateSet(b.model.stoichiometry, cs, init_states=b.x0)
+    ss.expand()
+
+    mesh = make_mesh()                      # global 8-device mesh
+    op8 = ShardedEllOperator(b.model, ss, mesh)
+
+    rng = np.random.default_rng(7)          # same stream in both processes
+    p_host = np.zeros(op8.n_pad)
+    p_host[:ss.num_states] = rng.random(ss.num_states)
+    y0 = op8.zero_vector()
+    # device_put with a cross-process sharding: every process supplies the
+    # same host value; jax assembles the global array from local shards
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pacmensl_tpu.sys.environment import STATE_AXIS
+    p8 = jax.device_put(jnp.asarray(p_host, op8.dtype),
+                        NamedSharding(mesh, P(STATE_AXIS)))
+    y8 = FspVector(p=p8, sinks=y0.sinks)
+    # multi-process rule: operator arrays span non-addressable devices, so
+    # they must be jit *arguments*, never closed-over constants — the same
+    # data-as-argument contract the expansion epochs rely on
+    d8 = jax.jit(op8.action)(0.5, y8, op8.data())
+
+    # oracle: single-device operator on the full host data
+    op1 = EllOperator(b.model, ss)
+    p1 = np.zeros(op1.n_pad)
+    p1[:ss.num_states] = p_host[:ss.num_states]
+    y1 = FspVector(p=jnp.asarray(p1, op1.dtype),
+                   sinks=jnp.zeros(cs.num_constraints, op1.dtype))
+    d1 = jax.jit(op1.action)(0.5, y1)
+
+    # compare the globally-reduced quantities visible to every process
+    from jax.experimental import multihost_utils
+    dp_full = multihost_utils.process_allgather(d8.p, tiled=True)
+    n = ss.num_states
+    np.testing.assert_allclose(np.asarray(dp_full)[:n],
+                               np.asarray(d1.p)[:n],
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(jax.device_get(d8.sinks)),
+                               np.asarray(jax.device_get(d1.sinks)),
+                               rtol=1e-12, atol=1e-14)
+    print(f"DISTOK pid={pid} n={n} halo={op8.halo_width}", flush=True)
+    env.finalize()
+
+
+if __name__ == "__main__":
+    main()
