@@ -36,6 +36,15 @@ def _default_platform_is_tpu() -> bool:
         return False
 
 
+# Exact-f32 matmuls.  TPU MXU contractions default to bfloat16 passes
+# (~1e-3 relative error) — fine for neural nets, poison for probability
+# transport: observed on-chip as noise-level mass appearing at far states
+# whose boundary sink flux then drives runaway FSP expansion (bounds
+# inflating 1000x past the true support).  The hot stencil/gather paths
+# use no large matmuls, so "highest" costs only the small Hessenberg
+# expm / basis-lincomb contractions a few extra MXU passes.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 _x64_env = os.environ.get("PACMENSL_TPU_X64")
 if _x64_env is None:
     _X64 = not _default_platform_is_tpu()

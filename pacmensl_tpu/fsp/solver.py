@@ -56,7 +56,7 @@ class FspSolverMultiSinks:
     def __init__(self,
                  backend: str = "auto",
                  partitioning: PartitioningType = PartitioningType.BLOCK,
-                 odes_type: Union[ODESolverType, str] = ODESolverType.KRYLOV,
+                 odes_type: Union[ODESolverType, str] = "auto",
                  mesh=None,
                  dtype=None,
                  pallas="auto"):
@@ -69,8 +69,7 @@ class FspSolverMultiSinks:
         #: last partition (reference lb_threshold_/20% growth trigger,
         #: StateSetBase.h:111 + StateSetConstrained.cpp:213-218)
         self.lb_threshold = 1.2
-        self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
-                          else ODESolverType.from_string(odes_type))
+        self.set_odes_type(odes_type)
         self.dtype = dtype or DEFAULT_DTYPE
 
         self.model: Optional[Model] = None
@@ -169,9 +168,33 @@ class FspSolverMultiSinks:
         return self
 
     def set_odes_type(self, odes_type) -> "FspSolverMultiSinks":
+        """Pick the integrator; ``"auto"`` (the default) resolves at setup
+        to KRYLOV for time-invariant models and CVODE (BDF) for
+        time-varying ones — the Krylov basis freezes c(t) per step
+        (quantified in tests/test_krylov_tv.py), so tv models default to
+        the integrator that re-evaluates c(t) inside the step, matching
+        the reference's own default (FspSolverMultiSinks.h: CVODE)."""
+        if isinstance(odes_type, str) and odes_type.strip().lower() == "auto":
+            self.odes_type = "auto"
+            return self
         self.odes_type = (odes_type if isinstance(odes_type, ODESolverType)
                           else ODESolverType.from_string(str(odes_type)))
         return self
+
+    def _resolve_odes_type(self) -> ODESolverType:
+        if self.odes_type != "auto":
+            if self.odes_type in (ODESolverType.KRYLOV, ODESolverType.EPIC) \
+                    and self.model is not None and self.model.tv_reactions:
+                import warnings
+                warnings.warn(
+                    "KRYLOV on a time-varying model freezes c(t) at each "
+                    "step's midpoint (measured TV error ~2e-4 on hog1p at "
+                    "t=180, tests/test_krylov_tv.py); use CVODE for tight "
+                    "tolerances", RuntimeWarning, stacklevel=3)
+            return self.odes_type
+        return (ODESolverType.CVODE
+                if self.model is not None and self.model.tv_reactions
+                else ODESolverType.KRYLOV)
 
     def set_ode_tolerances(self, rtol, atol) -> "FspSolverMultiSinks":
         self.ode_rtol = None if rtol is None else float(rtol)
@@ -405,22 +428,23 @@ class FspSolverMultiSinks:
         else:
             stop_check = None
 
-        if self.odes_type in (ODESolverType.KRYLOV, ODESolverType.EPIC):
+        odes = self._resolve_odes_type()
+        if odes in (ODESolverType.KRYLOV, ODESolverType.EPIC):
             return KrylovSolver(self._operator.action,
                                 abs_tol=self.krylov_abs_tol,
                                 m_min=self.krylov_dim_range[0],
                                 m_max=self.krylov_dim_range[1],
                                 rhs_cost=self._operator.local_mv_flops(),
                                 stop_check=stop_check, dtype=self.dtype)
-        if self.odes_type == ODESolverType.CVODE:
+        if odes == ODESolverType.CVODE:
             return BdfSolver(self._operator.action,
                              rtol=self.ode_rtol, atol=self.ode_atol,
                              stop_check=stop_check, dtype=self.dtype)
-        if self.odes_type == ODESolverType.PETSC:
+        if odes == ODESolverType.PETSC:
             return RKSolver(self._operator.action,
                             rtol=self.ode_rtol, atol=self.ode_atol,
                             stop_check=stop_check, dtype=self.dtype)
-        raise SetupError(f"unsupported ODE solver type {self.odes_type}")
+        raise SetupError(f"unsupported ODE solver type {odes}")
 
     def _expand(self, to_expand: np.ndarray, rounds: int = 1):
         """Grow flagged bounds, scatter the solution — and rebuild the

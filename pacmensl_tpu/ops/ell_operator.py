@@ -104,31 +104,52 @@ class EllOperator:
         diag_val = np.zeros((R, n_pad), dtype=np.float64)
         sink_bits = np.zeros((R, n_pad), dtype=np.uint32)
 
-        states_j = jnp.asarray(states)
-        # jit per reaction: eager evaluation would pay per-op dispatch
-        prop_jit = jax.jit(self.model.propensity, static_argnums=1)
-        for k, r in enumerate(self.enable_reactions):
-            # Off-diagonal: who flows INTO row x (source x - s_r), exactly
-            # the reference's column construction (FspMatrixBase.cpp:132-145)
-            src = states - stoich[r][None, :]
-            idx = self.state_set.state2index(src)
-            ok = idx >= 0
-            src_idx[k, :n] = np.where(ok, idx, 0)
-            a_src = np.asarray(jax.device_get(
-                prop_jit(jnp.asarray(src), r)), dtype=np.float64)
-            off_val[k, :n] = np.where(ok, a_src, 0.0)
-            # Diagonal: full outflow rate a_r(x)
-            diag_val[k, :n] = np.asarray(jax.device_get(
-                prop_jit(states_j, r)), dtype=np.float64)
-            # Sink bits: constraints violated by the target x + s_r
-            tgt = states + stoich[r][None, :]
-            sat = np.asarray(jax.device_get(
-                self.state_set.constraints.satisfied(jnp.asarray(tgt))))
-            viol = ~sat                             # [n, n_c]
-            bits = np.zeros(n, dtype=np.uint32)
-            for c in range(n_c):
-                bits |= viol[:, c].astype(np.uint32) << c
-            sink_bits[k, :n] = bits
+        # Assembly runs on the process-LOCAL CPU backend: propensity
+        # sweeps over the state list are microseconds of vectorized math,
+        # but on a tunneled TPU each per-reaction eval + device_get is an
+        # RPC round-trip — measured at 464 s of a 718 s repressilator
+        # solve (55 epochs) before this was pinned to the host.  Mirrors
+        # the reference, whose assembly is pure local CPU
+        # (FspMatrixBase.cpp:76-251).
+        from ..sys.environment import local_cpu_device
+        cpu = local_cpu_device()
+        if not hasattr(self, "_prop_jit"):
+            self._prop_jit = jax.jit(self.model.propensity,
+                                     static_argnums=1)
+            # bounds as an ARGUMENT: the ConstraintSet object is replaced
+            # with new bounds every expansion epoch, so a jit closing over
+            # it would silently keep the stale bounds; the constraint
+            # function itself is epoch-stable
+            self._sat_jit = jax.jit(
+                lambda s, b: self.state_set.constraints.satisfied_with(s, b))
+        bounds_now = np.asarray(self.state_set.constraints.bounds)
+        with jax.default_device(cpu):
+            states_j = jax.device_put(states, cpu)
+            for k, r in enumerate(self.enable_reactions):
+                # Off-diagonal: who flows INTO row x (source x - s_r),
+                # exactly the reference's column construction
+                # (FspMatrixBase.cpp:132-145)
+                src = states - stoich[r][None, :]
+                idx = self.state_set.state2index(src)
+                ok = idx >= 0
+                src_idx[k, :n] = np.where(ok, idx, 0)
+                a_src = np.asarray(
+                    self._prop_jit(jax.device_put(src, cpu), r),
+                    dtype=np.float64)
+                off_val[k, :n] = np.where(ok, a_src, 0.0)
+                # Diagonal: full outflow rate a_r(x)
+                diag_val[k, :n] = np.asarray(self._prop_jit(states_j, r),
+                                             dtype=np.float64)
+                # Sink bits: constraints violated by the target x + s_r
+                tgt = states + stoich[r][None, :]
+                sat = np.asarray(self._sat_jit(
+                    jax.device_put(tgt, cpu),
+                    jax.device_put(bounds_now, cpu)))
+                viol = ~sat                             # [n, n_c]
+                bits = np.zeros(n, dtype=np.uint32)
+                for c in range(n_c):
+                    bits |= viol[:, c].astype(np.uint32) << c
+                sink_bits[k, :n] = bits
 
         self.src_idx = jnp.asarray(src_idx)
         self.off_val = jnp.asarray(off_val, self.dtype)

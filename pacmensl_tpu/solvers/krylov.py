@@ -21,9 +21,11 @@ Deliberate deviations from the reference (documented):
     adapts between steps (the reference can also regrow the basis inside
     the rejection loop, KrylovFsp.cpp:121-241).  Rejections cost no
     matvecs here because the basis is tau-independent.
-  * matvec coefficients are frozen at the step's start time t_now rather
-    than t=0 (KrylovFsp.cpp:296 uses rhs_(0.0, ...)); identical for
-    time-invariant models, strictly better for time-varying ones.
+  * matvec coefficients are frozen at the step's *predicted midpoint*
+    t_now + tau/2 rather than t=0 (KrylovFsp.cpp:296 uses rhs_(0.0, ...));
+    identical for time-invariant models, second-order in the coefficient
+    drift for time-varying ones (see tests/test_krylov_tv.py for the
+    measured hog1p bound).
 """
 from __future__ import annotations
 
@@ -102,7 +104,7 @@ class KrylovSolver:
         return lambda t, y: self.matvec(t, y, data)
 
     # ------------------------------------------------------------------
-    def _basis(self, mv, t_now, y, beta, m):
+    def _basis(self, mv, t_eval, y, beta, m):
         """IOP Arnoldi: returns (Vm, Hm, mb, k1, n_mv, finite)."""
         M1, M2 = self.m_max + 1, self.m_max + 2
         Vm = vo.stack_zeros(y, M1)
@@ -112,7 +114,7 @@ class KrylovSolver:
         def body(carry):
             j, Vm, Hm, happy, nmv = carry
             vj = vo.basis_get(Vm, j)
-            w = mv(t_now, vj)
+            w = mv(t_eval, vj)
             nmv = nmv + 1
             istart = jnp.maximum(0, j - self.q_iop + 1) \
                 if self.q_iop > 0 else 0
@@ -164,7 +166,20 @@ class KrylovSolver:
 
             m = jnp.clip(m_next, self.m_min, self.m_max)
             beta = vo.norm2(y)
-            Vm, Hm, mb, k1, nmv_b, finite = self._basis(mv, t_now, y,
+            # Coefficient freeze point for this step's Krylov basis.  The
+            # reference freezes c(t) at 0 for the whole solve
+            # (KrylovFsp.cpp:296, rhs_(0.0, ...)); freezing at t_now is
+            # first-order in the c-drift; evaluating at the *predicted
+            # midpoint* t_now + tau/2 (tau = incoming step suggestion; 0 on
+            # the first step) is exponential-midpoint-like — second order
+            # in the drift for zero extra matvecs.  Measured on hog1p_3d
+            # (t=180, fixed space, f64): TV vs tight-BDF drops from 3.0e-3
+            # (t_now freeze) to the test-pinned bound in
+            # tests/test_krylov_tv.py.  Time-invariant models are
+            # bit-identical (coefficients constant).
+            t_eval = t_now + 0.5 * jnp.clip(t_step_next, 0.0,
+                                            t_final - t_now)
+            Vm, Hm, mb, k1, nmv_b, finite = self._basis(mv, t_eval, y,
                                                         beta, m)
             n_mv = n_mv + nmv_b
             status = jnp.where(finite & jnp.isfinite(beta),
@@ -172,7 +187,7 @@ class KrylovSolver:
 
             # --- first-step heuristic (KrylovFsp.cpp:133-144)
             def init_step(_):
-                av = mv(t_now, y)
+                av = mv(t_eval, y)
                 avn = vo.norm2(av)
                 anorm = avn / beta
                 mf = m.astype(dtype)
@@ -189,7 +204,7 @@ class KrylovSolver:
             # --- avnorm for the error estimator (KrylovFsp.cpp:148-155)
             def with_k1(_):
                 Hm2 = Hm.at[mb + 1, mb].set(1.0)
-                av = mv(t_now, vo.basis_get(Vm, mb))
+                av = mv(t_eval, vo.basis_get(Vm, mb))
                 return Hm2, vo.norm2(av)
 
             Hm2, avnorm = lax.cond(

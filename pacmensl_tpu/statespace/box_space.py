@@ -169,8 +169,60 @@ class BoxStateSpace:
 
     # ------------------------------------------------------------- build
     def _build(self):
+        """Build shape+mask, then verify FACE CLOSURE: no valid state on a
+        capacity face may have a constraint-satisfying outward neighbor —
+        otherwise the box truncates the true set and the operator would
+        destroy (not sink) the outward flux.  Under-coverage can happen
+        when coordinate-gated constraints defeat the corner probe of
+        ``derive_box_bounds``; leaking axes are grown and the build
+        repeats."""
+        for _ in range(64):
+            self._build_once()
+            leaks = self._face_leaks()
+            if not leaks.any():
+                return
+            floor = getattr(self, "_box_floor",
+                            np.zeros(self.num_species, np.int64))
+            grown = np.asarray(self._shape, np.int64)  # face idx = shape-1
+            floor = np.maximum(floor, np.where(leaks, (grown * 5) // 4 + 1,
+                                               0))
+            self._box_floor = floor
+        raise StateSpaceError(
+            "box face closure did not converge: the constraint set appears "
+            "unbounded along axes "
+            f"{np.nonzero(self._face_leaks())[0].tolist()}")
+
+    def _face_leaks(self) -> np.ndarray:
+        """Per-axis flag: capacity face i holds a valid state with a
+        constraint-satisfying outward neighbor (box too small)."""
+        S = self.num_species
+        leaks = np.zeros(S, dtype=bool)
+        for i in range(S):
+            grow_rs = [r for r in range(self.num_reactions)
+                       if self.stoich[r][i] > 0]
+            if not grow_rs:
+                continue
+            face = np.take(self._mask_host, self._shape[i] - 1, axis=i)
+            if not face.any():
+                continue
+            idx = np.argwhere(face)                      # [m, S-1]
+            states = np.zeros((idx.shape[0], S), np.int64)
+            states[:, [d for d in range(S) if d != i]] = idx
+            states[:, i] = self._shape[i] - 1
+            for r in grow_rs:
+                tgt = states + self.stoich[r][None, :]
+                ok = np.asarray(self.constraints.all_satisfied(tgt)) \
+                    & (tgt >= 0).all(axis=1)
+                if ok.any():
+                    leaks[i] = True
+                    break
+        return leaks
+
+    def _build_once(self):
         box_bounds = self.constraints.derive_box_bounds(
             self.num_species, self.init_states)
+        box_bounds = np.maximum(
+            box_bounds, getattr(self, "_box_floor", 0))
         self._box_bounds = box_bounds
         raw_shape = np.asarray(box_shape_from_bounds(box_bounds))
 

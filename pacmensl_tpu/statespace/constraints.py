@@ -167,26 +167,46 @@ class ConstraintSet:
         """Per-species bounding box [b_0..b_{S-1}] of the constraint set.
 
         For default constraints the box is exactly the bounds.  For custom
-        constraint functions, finds for each species the largest coordinate
-        v such that v * e_i satisfies every constraint (binary search;
-        assumes constraint scores are non-decreasing in each coordinate,
-        which holds for every bundled/reference model).  The box always
-        covers the initial states.
+        constraint functions, finds for each species the largest
+        coordinate v such that SOME witness state with ``x_i = v``
+        satisfies every constraint.  Witnesses place the other coordinates
+        at every corner combination of {0, current box bound} — an
+        axis-ray probe alone under-covers coordinate-*gated* constraints
+        like hog1p's ``(x0==g)*(x1+x2) <= b`` (hog1p_3d_model.h), where
+        x1's reach depends on x0 being away from 0.  Passes repeat until
+        the box stops growing (corner values depend on other axes'
+        bounds).  Assumes scores are non-decreasing in each coordinate at
+        fixed others beyond the corner set — true for every
+        bundled/reference model; the StateSet additionally self-heals by
+        growing its key space dynamically, and the box backend verifies
+        face-closure after mask construction.
         """
         if self.fn is None:
             box = self.bounds.copy()
         else:
             box = np.zeros(num_species, dtype=np.int64)
-            for i in range(num_species):
-                lo, hi = 0, cap
-                while lo < hi:          # largest v with constraints satisfied
-                    mid = (lo + hi + 1) // 2
-                    x = np.zeros((1, num_species), dtype=np.int64)
-                    x[0, i] = mid
-                    if bool(np.asarray(self.all_satisfied(x))[0]):
-                        lo = mid
-                    else:
-                        hi = mid - 1
-                box[i] = lo
+            for _ in range(1 + num_species):
+                prev = box.copy()
+                for i in range(num_species):
+                    others = [d for d in range(num_species) if d != i]
+                    grid = np.array(
+                        np.meshgrid(*[[0, int(box[d])] for d in others]),
+                        dtype=np.int64).reshape(len(others), -1).T \
+                        if others else np.zeros((1, 0), np.int64)
+                    corners = np.unique(grid, axis=0)
+                    w = np.zeros((corners.shape[0], num_species), np.int64)
+                    w[:, others] = corners
+                    lo, hi = 0, cap
+                    while lo < hi:   # largest v any witness satisfies
+                        mid = (lo + hi + 1) // 2
+                        w[:, i] = mid
+                        if bool(np.asarray(
+                                self.all_satisfied(w)).any()):
+                            lo = mid
+                        else:
+                            hi = mid - 1
+                    box[i] = lo
+                if (box == prev).all():
+                    break
         init_states = np.atleast_2d(np.asarray(init_states, dtype=np.int64))
         return np.maximum(box, init_states.max(axis=0))

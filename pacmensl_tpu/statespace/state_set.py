@@ -82,13 +82,21 @@ class StateSet:
 
         Key bounds must cover every state that can ever be probed (members
         and their +/- stoichiometry neighbours), so pad by the stoichiometry
-        range.
+        range.  The box probe can under-estimate for coordinate-coupled
+        constraints (e.g. ``(x0==0)*(x1+x2) <= b``) — :meth:`add_states`
+        grows the key space dynamically whenever an incoming state exceeds
+        it, so the probe only seeds the initial size.
         """
         seed = self.states if self.states.size else \
             np.zeros((1, self.num_species), dtype=np.int64)
         box = self.constraints.derive_box_bounds(self.num_species, seed)
         pad = np.abs(self.stoich).max(axis=0) if self.stoich.size else 0
-        box = box + pad
+        prev = getattr(self, "_key_bounds", 0)
+        self._key_bounds = self._checked_key_bounds(
+            np.maximum(box + pad, prev))
+
+    @staticmethod
+    def _checked_key_bounds(box) -> np.ndarray:
         # int64 overflow guard
         prod = 1.0
         for b in box:
@@ -97,7 +105,28 @@ class StateSet:
             raise StateSpaceError(
                 "state key space exceeds int64; this constraint shape needs "
                 "a wider key type (box bounds: %r)" % (box,))
-        self._key_bounds = box
+        return np.asarray(box, dtype=np.int64)
+
+    def _ensure_key_space(self, states: np.ndarray) -> None:
+        """Grow the key space to cover ``states`` (+ stoichiometry pad).
+
+        Out-of-range coordinates linearize to sub2ind's negative invalid
+        codes, which the directory rejects — without this growth such
+        states would be *silently dropped* from the BFS (observed as a
+        0.9/s mass-conservation leak on hog1p_3d, whose gated constraints
+        defeat the axis-ray box probe).  Growth rebuilds the directory
+        (O(n), amortized by the 25% margin)."""
+        if states.size == 0:
+            return
+        mx = states.max(axis=0)
+        if (mx <= self._key_bounds).all():
+            return
+        pad = np.abs(self.stoich).max(axis=0) if self.stoich.size else 0
+        need = mx + pad
+        grown = np.maximum(self._key_bounds,
+                           np.maximum(need, (need * 5) // 4 + 1))
+        self._key_bounds = self._checked_key_bounds(grown)
+        self._reindex()
 
     def _keys_of(self, states) -> np.ndarray:
         if self._use_native:
@@ -129,6 +158,7 @@ class StateSet:
         new_states = new_states[ok]
         if new_states.size == 0:
             return 0
+        self._ensure_key_space(new_states)
 
         # one directory pass dedupes within the batch AND against members
         # (the reference's DD probe -> update -> find round,

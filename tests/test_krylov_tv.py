@@ -1,0 +1,62 @@
+"""Quantify the Krylov integrator's time-varying-coefficient error
+(VERDICT r1 item 9; reference hazard: KrylovFsp freezes c(t) at 0 for the
+whole solve, KrylovFsp.cpp:296).
+
+Here the Krylov basis freezes c(t) at each step's predicted midpoint;
+this pins the measured total-variation error against a tight-tolerance
+BDF reference on hog1p_3d (the time-varying MAPK benchmark model at its
+reference horizon t=180), and checks the driver's "auto" integrator
+selection routes tv models to BDF.
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+import pacmensl_tpu as pm
+from pacmensl_tpu.solvers.base import ODESolverType
+
+
+def _solve(odes, rtol=None, t_final=180.0):
+    b = pm.models.hog1p_3d()
+    s = pm.FspSolverMultiSinks(backend="ell", odes_type=odes)
+    s.set_model(b.model)
+    s.set_constraint_functions(b.constraint)
+    s.set_initial_bounds(np.asarray(b.bounds) * 2)
+    s.set_expansion_factors(b.expansion_factors)
+    s.set_initial_distribution(b.x0, b.p0)
+    if rtol:
+        s.set_ode_tolerances(rtol, 1e-14)
+    return s.solve(t_final, 0.0)        # fixed space: isolate the integrator
+
+
+def test_krylov_tv_error_bounded():
+    d_ref = _solve("cvode", rtol=1e-8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # tv+krylov warning
+        d_k = _solve("krylov")
+    kr = {tuple(x): p for x, p in zip(d_ref.states, d_ref.p)}
+    kk = {tuple(x): p for x, p in zip(d_k.states, d_k.p)}
+    tv = 0.5 * sum(abs(kk.get(key, 0.0) - pr) for key, pr in kr.items())
+    # measured 2.3e-4 with the midpoint freeze (3.0e-3 with start-of-step
+    # freeze); pin with headroom so platform noise doesn't flake
+    assert tv <= 5.0e-4, tv
+
+
+def test_auto_integrator_selection():
+    tv_model = pm.models.hog1p_3d().model
+    ti_model = pm.models.toggle().model
+    assert tv_model.tv_reactions and not ti_model.tv_reactions
+
+    s = pm.FspSolverMultiSinks()                 # default: auto
+    assert s.odes_type == "auto"
+    s.set_model(tv_model)
+    assert s._resolve_odes_type() == ODESolverType.CVODE
+    s.set_model(ti_model)
+    assert s._resolve_odes_type() == ODESolverType.KRYLOV
+
+    # explicit KRYLOV on a tv model warns (documented hazard)
+    s2 = pm.FspSolverMultiSinks(odes_type="krylov")
+    s2.set_model(tv_model)
+    with pytest.warns(RuntimeWarning, match="time-varying"):
+        s2._resolve_odes_type()
