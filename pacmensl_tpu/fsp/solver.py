@@ -296,12 +296,11 @@ class FspSolverMultiSinks:
         if self._backend_used == "box":
             pad_quanta = None
             if self.mesh is not None:
-                # make the (largest) shard axis divisible by the mesh size
-                box_bounds = self.constraints.derive_box_bounds(
-                    self.model.num_species, self._init_states)
-                axis = int(np.argmax(box_bounds))
+                # make axis 0 divisible by the mesh size: it is the shard
+                # axis (mesh.choose_shard_axis) and the halo axis of the
+                # sharded fused kernel (parallel/halo_box.py)
                 pad_quanta = np.ones(self.model.num_species, np.int64)
-                pad_quanta[axis] = self.mesh.devices.size
+                pad_quanta[0] = self.mesh.devices.size
             self._space = BoxStateSpace(self.model.stoichiometry,
                                         self.constraints, self._init_states,
                                         pad_quanta=pad_quanta)
@@ -360,18 +359,15 @@ class FspSolverMultiSinks:
 
     def _build_operator(self):
         if self._backend_used == "box":
-            # the fused whole-box kernel is single-device; sharded solves
-            # use the XLA stencil path (GSPMD splits its shifts over ICI)
-            pallas_mode = False if self.mesh is not None \
-                else self._pallas_mode
             # carry the sink-shell padding floor through rebuilds so the
             # shell arrays keep monotone shapes (fewer re-jits)
             floor = getattr(self._operator, "sink_m_pad", 0) \
                 if self._operator is not None else 0
             self._operator = BoxOperator(self.model, self._space,
                                          dtype=self.dtype,
-                                         use_pallas=pallas_mode,
-                                         sink_m_floor=floor)
+                                         use_pallas=self._pallas_mode,
+                                         sink_m_floor=floor,
+                                         mesh=self.mesh)
         elif self.mesh is not None:
             # explicit halo-exchange SpMV (the reference's VecScatter plan,
             # rebuilt per epoch like its matrices)

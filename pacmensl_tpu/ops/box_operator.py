@@ -91,9 +91,14 @@ class BoxOperator:
                  materialize: bool = False,
                  enable_reactions: Optional[Sequence[int]] = None,
                  use_pallas="auto",
-                 sink_m_floor: int = 0):
+                 sink_m_floor: int = 0,
+                 mesh=None):
         self.model = model
         self.space = space
+        #: 1-D device mesh: the fused kernel then runs under shard_map
+        #: with explicit ppermute halo exchange along axis 0 (see
+        #: parallel/halo_box.py) instead of the single-device pallas_call
+        self.mesh = mesh
         self.dtype = dtype or DEFAULT_DTYPE
         self.materialize = materialize
         self.enable_reactions = tuple(
@@ -138,21 +143,36 @@ class BoxOperator:
         on_tpu = is_tpu_device()
         if use_pallas == "auto":
             f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
-            if not (on_tpu and f32 and
-                    fits_vmem(self.shape, self.dtype,
-                              len(self.enable_reactions),
-                              stoichiometry=self.model.stoichiometry,
-                              enable_reactions=self.enable_reactions)):
+            if self.mesh is not None:
+                from ..parallel.halo_box import sharded_vmem_ok
+                fits = sharded_vmem_ok(
+                    self.shape, self.dtype, len(self.enable_reactions),
+                    self.model.stoichiometry, self.enable_reactions,
+                    int(self.mesh.devices.size))
+            else:
+                fits = fits_vmem(self.shape, self.dtype,
+                                 len(self.enable_reactions),
+                                 stoichiometry=self.model.stoichiometry,
+                                 enable_reactions=self.enable_reactions)
+            if not (on_tpu and f32 and fits):
                 return None
         def build(components, synth=False):
-            kern = PallasBoxKernel(
-                self.model.propensity, self.model.stoichiometry,
-                self.shape, self.enable_reactions, dtype=self.dtype,
-                components=components, synth_mask=synth,
-                sink_active=self._sink_activity())
+            if self.mesh is not None:
+                from ..parallel.halo_box import ShardedPallasBoxAction
+                kern = ShardedPallasBoxAction(
+                    self.model.propensity, self.model.stoichiometry,
+                    self.shape, self.enable_reactions, self.mesh,
+                    dtype=self.dtype, components=components,
+                    synth_mask=synth, sink_active=self._sink_activity())
+            else:
+                kern = PallasBoxKernel(
+                    self.model.propensity, self.model.stoichiometry,
+                    self.shape, self.enable_reactions, dtype=self.dtype,
+                    components=components, synth_mask=synth,
+                    sink_active=self._sink_activity())
             # fail here (trace-time), not on the first matvec
             _jax.eval_shape(
-                kern._call,
+                kern,
                 jax.ShapeDtypeStruct((len(self.enable_reactions),),
                                      self.dtype),
                 jax.ShapeDtypeStruct((self.num_constraints,), jnp.int32),
@@ -358,7 +378,7 @@ class BoxOperator:
         if self._pallas is not None:
             c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
                                 self.dtype)
-            dp, ks = self._pallas._call(c_sel, data.bounds, p, mask_f)
+            dp, ks = self._pallas(c_sel, data.bounds, p, mask_f)
             if ks is not None:
                 return FspVector(p=dp, sinks=ks.astype(y.sinks.dtype))
             return FspVector(p=dp, sinks=self._shell_sinks(p, c, data, y))

@@ -196,8 +196,19 @@ class PallasBoxKernel:
                  components: Optional[Sequence[Callable]] = None,
                  interpret: Optional[bool] = None,
                  synth_mask: bool = False,
-                 sink_active: Optional[np.ndarray] = None):
+                 sink_active: Optional[np.ndarray] = None,
+                 global_extent0: Optional[int] = None):
         self.shape = tuple(int(s) for s in shape)
+        # Sharded mode (global_extent0 set): ``shape`` is the device-LOCAL
+        # axis-0 slab including halo planes; axis-0 coordinates are global
+        # = local + origin0 (a traced per-call scalar), the axis-0 source
+        # validity tests against the GLOBAL extent, and sink reductions
+        # count only rows the device owns ([own_lo, own_hi) globally) so a
+        # psum over the mesh recovers the reference's sink semantics
+        # without double-counting halo rows.
+        self.g0 = int(global_extent0) if global_extent0 is not None \
+            else self.shape[0]
+        self.sharded = global_extent0 is not None
         self.dtype = dtype
         self.reactions = tuple(int(r) for r in enable_reactions)
         self.stoich = np.atleast_2d(np.asarray(stoichiometry, np.int64))
@@ -296,7 +307,7 @@ class PallasBoxKernel:
         return jnp.where(lane_iota >= k2, lo, hi)
 
     # ------------------------------------------------------------- build
-    def _compute(self, c_ref, bounds_ref, p_w, mask_w, coords_w,
+    def _compute(self, c_ref, bounds_ref, meta_ref, p_w, mask_w, coords_w,
                  lane_iota, mid0: int, t_out: int):
         """Shared core: from window arrays ``p_w``/``mask_w`` [W, 128] and
         their coordinate fields, produce the middle-slice derivative
@@ -317,8 +328,16 @@ class PallasBoxKernel:
             return a if (mid0 == 0 and a.shape[0] == t_out) \
                 else a[mid0:mid0 + t_out]
 
-        coords_m = [mid(cd) for cd in coords_w]
-        x_view = CoordStates([ci.astype(dtype) for ci in coords_w])
+        # Global coordinates: in sharded mode axis 0 is offset by the
+        # device's origin (meta[0,0]); everything semantic — propensities,
+        # constraints, source validity, sinks — sees GLOBAL coordinates,
+        # while the flat-shift layout machinery stays local.
+        if self.sharded:
+            gcoords_w = [coords_w[0] + meta_ref[0, 0]] + list(coords_w[1:])
+        else:
+            gcoords_w = list(coords_w)
+        coords_m = [mid(cd) for cd in gcoords_w]
+        x_view = CoordStates([ci.astype(dtype) for ci in gcoords_w])
 
         if mask_w is None:
             mask_b = None
@@ -326,9 +345,20 @@ class PallasBoxKernel:
                 v = jnp.asarray(comps[cc](x_view)).astype(dtype)
                 okc = v <= bounds_ref[0, cc].astype(dtype)
                 mask_b = okc if mask_b is None else (mask_b & okc)
+            if self.sharded:
+                # halo planes beyond the global box decode negative /
+                # overflowing axis-0 coordinates; they carry p = 0 (edge
+                # ppermute zeros) but must not satisfy the synthesized mask
+                mask_b = mask_b & (gcoords_w[0] >= 0) \
+                    & (gcoords_w[0] < self.g0)
         else:
             mask_b = mask_w > 0
         mask_m = mid(mask_b)
+        if self.sharded:
+            own_m = (coords_m[0] >= meta_ref[0, 1]) \
+                & (coords_m[0] < meta_ref[0, 2])
+        else:
+            own_m = None
 
         acc = jnp.zeros((t_out, LANES), dtype)
         sink_acc = [jnp.zeros((), dtype) for _ in range(n_c)]
@@ -347,11 +377,17 @@ class PallasBoxKernel:
                 if sd == 0:
                     continue
                 src = coords_m[d] - sd
-                ok = (src >= 0) & (src < self.shape[d])
+                hi = self.g0 if d == 0 else self.shape[d]
+                ok = (src >= 0) & (src < hi)
                 valid = valid & ok
             inflow = jnp.where(valid, inflow, jnp.zeros((), dtype))
             ap_m = mid(ap)
             acc = acc + c_r * (inflow - ap_m)
+            # sinks credit the device OWNING the source row (halo copies
+            # of the same row exist on neighbors; psum must not double
+            # count them)
+            ap_s = ap_m if own_m is None else \
+                jnp.where(own_m, ap_m, jnp.zeros((), dtype))
             if comps is not None and self.sink_active[k].any():
                 # sinks: mass flowing to targets x + s_r that violate
                 # constraint cc, one dense masked reduction each
@@ -367,7 +403,7 @@ class PallasBoxKernel:
                     v = jnp.asarray(comps[cc](tgt_view)).astype(dtype)
                     viol = v > bounds_ref[0, cc].astype(dtype)
                     sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
-                        jnp.where(viol, ap_m, jnp.zeros((), dtype)))
+                        jnp.where(viol, ap_s, jnp.zeros((), dtype)))
         return acc, sink_acc
 
     def _build(self):
@@ -383,12 +419,13 @@ class PallasBoxKernel:
 
         if grid == 1:
             def kernel_entry(*refs):
-                c_ref, bounds_ref, p_ref = refs[0], refs[1], refs[2]
-                mask_ref = None if synth else refs[3]
+                c_ref, bounds_ref, meta_ref = refs[0], refs[1], refs[2]
+                p_ref = refs[3]
+                mask_ref = None if synth else refs[4]
                 dp_ref, dsinks_ref = refs[-2], refs[-1]
                 coords, lane_iota = self._coords(T)
                 acc, sink_acc = self._compute(
-                    c_ref, bounds_ref, p_ref[:],
+                    c_ref, bounds_ref, meta_ref, p_ref[:],
                     None if synth else mask_ref[:],
                     coords, lane_iota, 0, T)
                 dp_ref[:] = acc
@@ -398,25 +435,25 @@ class PallasBoxKernel:
                     dsinks_ref[0, 0] = jnp.zeros((), dtype)
 
             grid_kw = {}
-            in_specs = [smem, smem, vmem] + ([] if synth else [vmem])
+            in_specs = [smem, smem, smem, vmem] + ([] if synth else [vmem])
             out_specs = (vmem, smem)
         else:
             def kernel_entry(*refs):
-                c_ref, bounds_ref = refs[0], refs[1]
-                p_cu, p_pv, p_nx = refs[2], refs[3], refs[4]
+                c_ref, bounds_ref, meta_ref = refs[0], refs[1], refs[2]
+                p_cu, p_pv, p_nx = refs[3], refs[4], refs[5]
                 dp_ref, dsinks_ref = refs[-2], refs[-1]
                 pid = pl.program_id(0)
                 p_w = jnp.concatenate([p_pv[:], p_cu[:], p_nx[:]], axis=0)
                 if synth:
                     mask_w = None
                 else:
-                    m_cu, m_pv, m_nx = refs[5], refs[6], refs[7]
+                    m_cu, m_pv, m_nx = refs[6], refs[7], refs[8]
                     mask_w = jnp.concatenate([m_pv[:], m_cu[:], m_nx[:]],
                                              axis=0)
                 coords, lane_iota = self._coords(T + 2 * H, pid * T - H)
                 acc, sink_acc = self._compute(
-                    c_ref, bounds_ref, p_w, mask_w, coords, lane_iota,
-                    H, T)
+                    c_ref, bounds_ref, meta_ref, p_w, mask_w, coords,
+                    lane_iota, H, T)
                 dp_ref[:] = acc
 
                 @pl.when(pid == 0)
@@ -431,7 +468,7 @@ class PallasBoxKernel:
             blkT = pl.BlockSpec((T, LANES), cur, memory_space=pltpu.VMEM)
             blkH = pl.BlockSpec((H, LANES), cur, memory_space=pltpu.VMEM)
             grid_kw = {"grid": (grid,)}
-            in_specs = [smem, smem, blkT, blkH, blkH] \
+            in_specs = [smem, smem, smem, blkT, blkH, blkH] \
                 + ([] if synth else [blkT, blkH, blkH])
             out_specs = (
                 blkT,
@@ -485,12 +522,20 @@ class PallasBoxKernel:
             nx = jnp.concatenate([a3[1:, :H, :], z], axis=0)
             return pv.reshape(grid * H, LANES), nx.reshape(grid * H, LANES)
 
-        def fn(c, bounds, p_box, mask_box):
+        g0 = self.g0
+
+        def fn(c, bounds, p_box, mask_box, origin0=0, own_lo=0,
+               own_hi=None):
             c2 = jnp.asarray(c, dtype).reshape(1, R)
             b2 = jnp.asarray(bounds, jnp.int32).reshape(1, -1) \
                 if n_c else jnp.zeros((1, 1), jnp.int32)
+            meta = jnp.stack([
+                jnp.asarray(origin0, jnp.int32),
+                jnp.asarray(own_lo, jnp.int32),
+                jnp.asarray(g0 if own_hi is None else own_hi,
+                            jnp.int32)]).reshape(1, 3)
             p2 = pad2(p_box.astype(dtype))
-            args = [c2, b2, p2]
+            args = [c2, b2, meta, p2]
             if grid > 1:
                 args += list(halos(p2))
             if not synth:
@@ -508,5 +553,7 @@ class PallasBoxKernel:
     def has_sinks(self) -> bool:
         return self.components is not None
 
-    def __call__(self, c, bounds, p_box, mask_box):
-        return self._call(c, bounds, p_box, mask_box)
+    def __call__(self, c, bounds, p_box, mask_box, origin0=0, own_lo=0,
+                 own_hi=None):
+        return self._call(c, bounds, p_box, mask_box, origin0, own_lo,
+                          own_hi)

@@ -45,8 +45,13 @@ def choose_shard_axis(shape: Tuple[int, ...], n_shards: int) -> Optional[int]:
     """
     if not shape:
         return None
-    # device_put requires even sharding: pick the largest axis divisible
-    # by the shard count (the solver pads one axis to guarantee this)
+    # device_put requires even sharding.  Axis 0 is preferred when it
+    # divides evenly: the fused sharded kernel exchanges halos along
+    # axis 0 (contiguous planes in the C-order flat view,
+    # parallel/halo_box.py), and the solver pads axis 0 to guarantee
+    # divisibility.  Otherwise fall back to the largest divisible axis.
+    if shape[0] >= n_shards and shape[0] % n_shards == 0:
+        return 0
     order = np.argsort(shape)[::-1]
     for axis in order:
         if shape[axis] >= n_shards and shape[axis] % n_shards == 0:
