@@ -110,6 +110,34 @@ def main():
     log(f"TPU/box SpMV: n={space.num_states} nnz={nnz} "
         f"{dt*1e6:.1f} us/matvec -> {ours/1e9:.3f} Gnnz/s")
 
+    # --- roofline fraction: measured stream bandwidth vs kernel traffic --
+    # The fused kernel's HBM traffic model (pallas_box): synth-mask mode
+    # reads p once (+ halo duplication 2H/T in tiled mode) and writes dp
+    # once; mask-reading mode reads the mask too.  Compare the achieved
+    # bytes/s against a measured x2-copy stream on the same chip.
+    n_elems = int(np.prod(space.shape))
+    x = jnp.zeros((n_elems,), dtype)
+
+    @jax.jit
+    def stream(v):
+        return lax.fori_loop(0, k_hi, lambda i, a: a * 1.0000001, v)
+    jax.device_get(stream(x))
+    t0 = time.perf_counter()
+    jax.device_get(stream(x))
+    bw = 2.0 * n_elems * jnp.dtype(dtype).itemsize * k_hi / \
+        (time.perf_counter() - t0)
+    kern = getattr(op, "_pallas", None)
+    if kern is not None:
+        halo = (2.0 * kern.halo_rows / kern.tile_rows
+                if kern.grid > 1 else 0.0)
+        n_ops = 1 if kern.synth_mask else 2
+        traffic = (n_ops * (1.0 + halo) + 1.0) * n_elems * \
+            jnp.dtype(dtype).itemsize
+        frac = (traffic / bw) / dt
+        log(f"stream bandwidth: {bw/1e9:.1f} GB/s; kernel traffic "
+            f"{traffic/1e6:.1f} MB/matvec -> roofline {traffic/bw*1e6:.1f} "
+            f"us; achieved fraction {frac:.2f}")
+
     # --- reference-equivalent baseline: scipy CSR on host CPU ------------
     # Built directly from the box enumeration (vectorized) — same sparsity
     # as the reference's per-reaction SELL assembly (column = index of

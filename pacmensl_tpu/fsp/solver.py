@@ -377,7 +377,19 @@ class FspSolverMultiSinks:
         else:
             self._operator = EllOperator(self.model, self._space,
                                          dtype=self.dtype)
+        self._log_halo_stats()
         self._ode_solver = None     # operator identity/shapes changed
+
+    def _log_halo_stats(self):
+        """Surface the exchange-plan size (values crossing ICI per matvec)
+        in the event log — the observability analogue of the reference's
+        VecScatter message counts."""
+        target = self._operator
+        comm = getattr(target, "comm_values_per_matvec", None)
+        if comm is None and getattr(target, "_pallas", None) is not None:
+            comm = getattr(target._pallas, "comm_values_per_matvec", None)
+        if comm is not None and self.log_events:
+            self.events.add_count("HaloValuesPerMatvec", int(comm()))
 
     def _initial_vector(self) -> FspVector:
         idx = self._space.state2index(self._init_states)
