@@ -138,9 +138,11 @@ class BoxOperator:
         False disables."""
         if use_pallas is False or self.materialize:
             return None
-        from .pallas_box import PallasBoxKernel, fits_vmem, is_tpu_device
+        from .pallas_box import (PallasBoxKernel, fits_vmem, is_tpu_device,
+                                 mesh_is_tpu)
         import jax as _jax
-        on_tpu = is_tpu_device()
+        on_tpu = (mesh_is_tpu(self.mesh) if self.mesh is not None
+                  else is_tpu_device())
         if use_pallas == "auto":
             f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
             if self.mesh is not None:

@@ -73,18 +73,25 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def is_tpu_device() -> bool:
-    """True when the default JAX device is a TPU chip.
+def is_tpu_device(device=None) -> bool:
+    """True when ``device`` (default: the default JAX device) is a TPU.
 
     Robust to experimental platform plugins (a tunneled chip may register
     under a plugin platform name while ``device_kind`` still reads
     "TPU v5 lite"): accept either the platform string or the kind.
     """
     try:
-        d = jax.devices()[0]
+        d = device if device is not None else jax.devices()[0]
     except Exception:
         return False
     return d.platform == "tpu" or "tpu" in str(d.device_kind).lower()
+
+
+def mesh_is_tpu(mesh) -> bool:
+    """True when every device of the mesh is a TPU (the kernel must compile
+    for the MESH devices — a CPU mesh under a TPU default platform, e.g.
+    the driver's virtual-device dry run, needs interpret mode)."""
+    return all(is_tpu_device(d) for d in np.ravel(mesh.devices))
 
 
 def _prod(xs) -> int:

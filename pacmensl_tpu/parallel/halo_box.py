@@ -30,7 +30,7 @@ except ImportError:                      # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..sys.environment import STATE_AXIS
-from ..ops.pallas_box import PallasBoxKernel, fits_vmem
+from ..ops.pallas_box import PallasBoxKernel, fits_vmem, mesh_is_tpu
 
 
 def sharded_vmem_ok(shape, dtype, n_reactions, stoichiometry,
@@ -76,6 +76,9 @@ class ShardedPallasBoxAction:
         self.w0 = int(np.abs(
             stoich[list(enable_reactions), 0]).max(initial=0)) + 1
         self.L0 = shape[0] // D
+        if interpret is None:
+            # compile for the MESH devices, not the default platform
+            interpret = not mesh_is_tpu(mesh)
         local_shape = (self.L0 + 2 * self.w0,) + shape[1:]
         self.kernel = PallasBoxKernel(
             propensity, stoichiometry, local_shape, enable_reactions,
