@@ -118,14 +118,21 @@ def main():
     n_elems = int(np.prod(space.shape))
     x = jnp.zeros((n_elems,), dtype)
 
-    @jax.jit
-    def stream(v):
-        return lax.fori_loop(0, k_hi, lambda i, a: a * 1.0000001, v)
-    jax.device_get(stream(x))
+    # Return a SCALAR: fetching the full array back through the device
+    # tunnel would measure RPC transfer, not HBM streaming.  Two-point
+    # K-slope cancels the fixed dispatch latency like the SpMV timing.
+    def stream(k, v):
+        return lax.fori_loop(0, k, lambda i, a: a * 1.0000001, v).sum()
+    stream_j = jax.jit(stream, static_argnums=0)
+    stream_j(k_lo, x).block_until_ready()
+    stream_j(k_hi, x).block_until_ready()
     t0 = time.perf_counter()
-    jax.device_get(stream(x))
-    bw = 2.0 * n_elems * jnp.dtype(dtype).itemsize * k_hi / \
-        (time.perf_counter() - t0)
+    stream_j(k_lo, x).block_until_ready()
+    t1 = time.perf_counter()
+    stream_j(k_hi, x).block_until_ready()
+    t2 = time.perf_counter()
+    bw = 2.0 * n_elems * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
+        max((t2 - t1) - (t1 - t0), 1e-9)
     kern = getattr(op, "_pallas", None)
     if kern is not None:
         halo = (2.0 * kern.halo_rows / kern.tile_rows

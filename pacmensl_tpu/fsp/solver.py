@@ -398,9 +398,16 @@ class FspSolverMultiSinks:
                 "initial states outside the FSP state space")
         n_c = self.constraints.num_constraints
         if self._backend_used == "box":
-            p = np.zeros(self._space.size, dtype=np.float64)
-            p[idx] = self._init_probs
-            p = jnp.asarray(p, self.dtype).reshape(self._space.shape)
+            if getattr(self._operator, "padded_layout", False):
+                # fused-kernel fast path: carry the flat zero-padded
+                # [n_pad] layout end-to-end (no per-matvec pad/unpad)
+                p = np.zeros(self._operator.n_pad, dtype=np.float64)
+                p[idx] = self._init_probs
+                p = jnp.asarray(p, self.dtype)
+            else:
+                p = np.zeros(self._space.size, dtype=np.float64)
+                p[idx] = self._init_probs
+                p = jnp.asarray(p, self.dtype).reshape(self._space.shape)
         else:
             p = np.zeros(self._operator.n_pad, dtype=np.float64)
             p[idx] = self._init_probs
@@ -504,12 +511,19 @@ class FspSolverMultiSinks:
         with self.events.timed(EVT_SCATTER):
             if self._backend_used == "box":
                 if capacity_grew:
+                    if p_old.ndim == 1:
+                        # padded-layout vector: strip back to the old box
+                        n_old = int(np.prod(old_shape))
+                        p_old = p_old[:n_old].reshape(old_shape)
                     p_new = self._space.embed_old(p_old, old_shape)
+                    if getattr(self._operator, "padded_layout", False):
+                        p_new = self._operator.to_padded(p_new)
                     self._y = self._place(
                         FspVector(p=p_new, sinks=sinks_old))
                 # within capacity: p is already laid out correctly and the
                 # newly valid states hold zeros (masked dynamics) — no
-                # scatter at all.
+                # scatter at all.  (In padded layout the capacity — and
+                # hence n_pad and every flat index — is unchanged too.)
             else:
                 # ExpandVec analogue, entirely on device (PetscWrap.cpp:
                 # 26-56): old entries land at their new global indices.
@@ -691,7 +705,10 @@ class FspSolverMultiSinks:
     def _make_distribution(self) -> DiscreteDistribution:
         if self._backend_used == "box":
             states = self._space.states()
-            p = self._space.extract_valid(self._y.p)
+            p_dev = self._y.p
+            if p_dev.ndim == 1:        # padded layout -> box for extraction
+                p_dev = self._operator.from_padded(p_dev)
+            p = self._space.extract_valid(p_dev)
         else:
             states = self._space.copy_states()
             p = np.asarray(jax.device_get(self._y.p))[:states.shape[0]]

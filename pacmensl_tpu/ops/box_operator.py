@@ -72,6 +72,9 @@ class BoxOpData(NamedTuple):
     sink_idx: jnp.ndarray   # [n_c, m_pad] int32 flat box indices
     sink_val: jnp.ndarray   # [n_c, m_pad] masked propensity a_r(x), 0 = pad
     sink_rid: jnp.ndarray   # [n_c, m_pad] int32 global reaction index
+    #: mask in the fused kernel's padded [rows_pad, 128] layout (None when
+    #: no kernel is active or the kernel synthesizes its mask in-register)
+    mask_p2: Optional[jnp.ndarray] = None
 
 
 def _shell_ladder(n: int) -> int:
@@ -118,6 +121,9 @@ class BoxOperator:
         # rebuilds), so within-capacity expansion epochs keep the shapes
         # of BoxOpData stable and downstream jitted programs compiled.
         self.sink_m_pad = int(sink_m_floor)
+        # kernel before data: refresh_data snapshots the mask in the
+        # kernel's padded layout when a mask-reading kernel is active
+        self._pallas = self._maybe_build_pallas(use_pallas)
         self.refresh_data()
 
         if materialize:
@@ -128,8 +134,6 @@ class BoxOperator:
         # Violation fields are always computed on the fly: storing them
         # would cost n * n_constraints per reaction, and they are pure
         # constraint-function evaluations that XLA fuses for free.
-
-        self._pallas = self._maybe_build_pallas(use_pallas)
 
     def _maybe_build_pallas(self, use_pallas):
         """Fused single-pass Pallas kernel for the action (see
@@ -272,9 +276,12 @@ class BoxOperator:
         sink_idx, sink_val, sink_rid = self._build_sink_shell(bounds_np)
         mask_f = jnp.asarray(
             self.space.mask_host.astype(jnp.dtype(self.dtype)))
+        kern = getattr(self, "_pallas", None)
+        mask_p2 = (kern.pad2(mask_f) if self.padded_layout
+                   and not kern.synth_mask else None)
         self._data = BoxOpData(mask_f=mask_f, bounds=jnp.asarray(bounds_np),
                                sink_idx=sink_idx, sink_val=sink_val,
-                               sink_rid=sink_rid)
+                               sink_rid=sink_rid, mask_p2=mask_p2)
         return self._data
 
     def _build_sink_shell(self, bounds):
@@ -377,6 +384,24 @@ class BoxOperator:
         p = y.p
         c = self.model.coefficients(t, self.dtype)
 
+        if (p.ndim == 1 and self.padded_layout
+                and p.shape[0] == self._pallas.n_pad
+                and p.shape[0] != self._n):
+            # padded fast path: p is the flat zero-padded [n_pad] vector in
+            # the kernel's [rows_pad, 128] layout — no per-matvec pad/unpad
+            # HBM copies (the integrators carry this layout end-to-end).
+            # (A 1-D *box* vector has exactly n == prod(shape) entries and
+            # keeps the legacy path below.)
+            kern = self._pallas
+            c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
+                                self.dtype)
+            p2 = p.reshape(-1, 128)
+            dp2, ks = kern.call_padded(c_sel, data.bounds, p2, data.mask_p2)
+            dp = dp2.reshape(p.shape)
+            if ks is not None:
+                return FspVector(p=dp, sinks=ks.astype(y.sinks.dtype))
+            return FspVector(p=dp, sinks=self._shell_sinks(p, c, data, y))
+
         if self._pallas is not None:
             c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
                                 self.dtype)
@@ -405,8 +430,9 @@ class BoxOperator:
         sink matvec, FspMatrixConstrained.cpp:31-64).  Used by the XLA
         path and as the fallback when constraint components cannot be
         evaluated in-kernel."""
-        p_flat = p.reshape(self._n)
-        gathered = p_flat.at[data.sink_idx].get()    # [n_c, m_pad]
+        p_flat = p.reshape(-1)         # box [n] or padded [n_pad] layout:
+        gathered = p_flat.at[data.sink_idx].get()    # shell indices < n
+
         return jnp.sum(data.sink_val * c[data.sink_rid] * gathered,
                        axis=1).astype(y.sinks.dtype)
 
@@ -428,6 +454,28 @@ class BoxOperator:
         return out
 
     # ------------------------------------------------------------- misc
+    @property
+    def padded_layout(self) -> bool:
+        """True when the single-device fused kernel is active, enabling the
+        flat padded [n_pad] vector layout (``action`` dispatches on
+        ``y.p.ndim``; the sharded kernel keeps the box layout — its halo
+        exchange works on axis-0 planes)."""
+        kern = getattr(self, "_pallas", None)
+        return kern is not None and self.mesh is None \
+            and hasattr(kern, "call_padded")
+
+    @property
+    def n_pad(self) -> int:
+        return self._pallas.n_pad
+
+    def to_padded(self, p) -> jnp.ndarray:
+        """Box-shaped (or flat [n]) -> flat padded [n_pad] layout."""
+        return self._pallas.pad2(jnp.asarray(p, self.dtype)).reshape(-1)
+
+    def from_padded(self, p_flat) -> jnp.ndarray:
+        """Flat padded [n_pad] -> box-shaped."""
+        return p_flat[:self._n].reshape(self.shape)
+
     @property
     def num_constraints(self) -> int:
         return self.space.num_constraints

@@ -270,27 +270,56 @@ class PallasBoxKernel:
             self.grid = -(-self.rows // self.tile_rows)
             self.halo_rows = halo
         self.n_pad = self.grid * self.tile_rows * LANES
-        self._call = jax.jit(self._build())
+        self._fn = self._build()
+        self._call = jax.jit(self._fn)
+        self._call_padded = jax.jit(self._fn.padded)
 
     # ------------------------------------------------------------ pieces
     def _coords(self, nrows: int, base_row=0):
         """Per-species coordinate fields [nrows, 128] int32, from the flat
         index ``idx = (base_row + row) * 128 + lane``.  ``base_row`` may be
-        a traced int (tiled mode).  NOTE: negative flat indices (rows before
-        the array start) wrap via floor-div/mod into *in-range-looking*
-        coordinates, so window regions outside ``[0, n)`` hold plausible
-        garbage.  Correctness invariant: such regions are only ever read by
-        middle-slice outputs whose flat source is out-of-box, which the
-        per-axis source-validity masks zero; only middle-slice values
-        (``coords_m`` / ``ap_m``) may feed sinks or unmasked terms."""
+        a traced int (tiled mode).
+
+        Mixed-radix decode WITHOUT integer div/mod (slow multi-op
+        sequences on the VPU): each quotient ``q_d = idx // stride_d`` is
+        an f32 reciprocal multiply with a +-1 floor correction (exact for
+        |idx| < 2^23, enforced at kernel build), and each coordinate is
+        then one mul+sub: ``x_d = q_d - q_{d-1} * shape[d]``.  The leading
+        coordinate is NOT wrapped: out-of-range window positions (halo
+        clamps, padded tail) decode to x0 < 0 or x0 >= shape[0], which the
+        synthesized mask / axis-0 validity tests reject outright — middle
+        positions always decode exactly.  Lower coordinates still hold
+        plausible garbage at such positions; the correctness invariant is
+        that any window value whose N-d source is out-of-box is zeroed by
+        the per-axis source-validity masks before it can reach an
+        accumulator, and only middle-slice values (``coords_m`` /
+        ``ap_m``) may feed sinks or unmasked terms."""
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
         idx = (row_iota + base_row) * LANES + lane_iota
+
+        # f32 reciprocal division is exact (after the +-1 correction) only
+        # while |idx| < 2^23; huge boxes fall back to integer division.
+        exact = (self.n_pad + (self.halo_rows + 1) * LANES) < (1 << 23)
+
+        def fdiv(a, sd):
+            if not exact:
+                return a // sd
+            q = (a.astype(jnp.float32) *
+                 np.float32(1.0 / sd)).astype(jnp.int32)
+            r = a - q * sd
+            q = jnp.where(r < 0, q - 1, q)
+            q = jnp.where(r >= sd, q + 1, q)
+            return q
+
         coords = []
+        q_hi = None
         for d, sd in enumerate(self.strides):
-            c = idx // sd if sd > 1 else idx
-            coords.append(c % self.shape[d])
-        return coords, lane_iota
+            q = fdiv(idx, sd) if sd > 1 else idx
+            coords.append(q if q_hi is None
+                          else q - q_hi * self.shape[d])
+            q_hi = q
+        return coords, lane_iota, idx
 
     def _roll(self, a, shift, axis):
         if shift % a.shape[axis] == 0:
@@ -315,7 +344,7 @@ class PallasBoxKernel:
 
     # ------------------------------------------------------------- build
     def _compute(self, c_ref, bounds_ref, meta_ref, p_w, mask_w, coords_w,
-                 lane_iota, mid0: int, t_out: int):
+                 lane_iota, idx_w, mid0: int, t_out: int):
         """Shared core: from window arrays ``p_w``/``mask_w`` [W, 128] and
         their coordinate fields, produce the middle-slice derivative
         ``acc`` [t_out, 128] (output rows ``[mid0, mid0 + t_out)`` of the
@@ -411,6 +440,11 @@ class PallasBoxKernel:
                     viol = v > bounds_ref[0, cc].astype(dtype)
                     sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
                         jnp.where(viol, ap_s, jnp.zeros((), dtype)))
+        # Zero the padded tail rows so the raw padded output is exactly 0
+        # beyond the box — required by the padded-layout fast path (the
+        # integrators carry [rows_pad, 128] vectors whose tail must stay
+        # zero for norms/dots) and harmless otherwise.
+        acc = jnp.where(mid(idx_w) < self.n, acc, jnp.zeros((), dtype))
         return acc, sink_acc
 
     def _build(self):
@@ -430,11 +464,11 @@ class PallasBoxKernel:
                 p_ref = refs[3]
                 mask_ref = None if synth else refs[4]
                 dp_ref, dsinks_ref = refs[-2], refs[-1]
-                coords, lane_iota = self._coords(T)
+                coords, lane_iota, idx = self._coords(T)
                 acc, sink_acc = self._compute(
                     c_ref, bounds_ref, meta_ref, p_ref[:],
                     None if synth else mask_ref[:],
-                    coords, lane_iota, 0, T)
+                    coords, lane_iota, idx, 0, T)
                 dp_ref[:] = acc
                 for cc in range(n_c):
                     dsinks_ref[0, cc] = sink_acc[cc]
@@ -457,10 +491,10 @@ class PallasBoxKernel:
                     m_cu, m_pv, m_nx = refs[6], refs[7], refs[8]
                     mask_w = jnp.concatenate([m_pv[:], m_cu[:], m_nx[:]],
                                              axis=0)
-                coords, lane_iota = self._coords(T + 2 * H, pid * T - H)
+                coords, lane_iota, idx = self._coords(T + 2 * H, pid * T - H)
                 acc, sink_acc = self._compute(
                     c_ref, bounds_ref, meta_ref, p_w, mask_w, coords,
-                    lane_iota, H, T)
+                    lane_iota, idx, H, T)
                 dp_ref[:] = acc
 
                 @pl.when(pid == 0)
@@ -531,8 +565,13 @@ class PallasBoxKernel:
 
         g0 = self.g0
 
-        def fn(c, bounds, p_box, mask_box, origin0=0, own_lo=0,
-               own_hi=None):
+        def fn_padded(c, bounds, p2, m2, origin0=0, own_lo=0,
+                      own_hi=None):
+            """Padded-layout entry: ``p2``/``m2`` are [rows_pad, 128]
+            views of the zero-padded flat box; returns ``dp2`` in the same
+            layout (tail rows exactly zero) plus the sink vector.  Skips
+            the per-matvec pad/unpad copies — the layout the integrators
+            carry in the padded fast path."""
             c2 = jnp.asarray(c, dtype).reshape(1, R)
             b2 = jnp.asarray(bounds, jnp.int32).reshape(1, -1) \
                 if n_c else jnp.zeros((1, 1), jnp.int32)
@@ -541,19 +580,27 @@ class PallasBoxKernel:
                 jnp.asarray(own_lo, jnp.int32),
                 jnp.asarray(g0 if own_hi is None else own_hi,
                             jnp.int32)]).reshape(1, 3)
-            p2 = pad2(p_box.astype(dtype))
             args = [c2, b2, meta, p2]
             if grid > 1:
                 args += list(halos(p2))
             if not synth:
-                m2 = pad2(mask_box.astype(dtype))
                 args.append(m2)
                 if grid > 1:
                     args += list(halos(m2))
             dp2, dsinks = call(*args)
-            dp = dp2.reshape(n_pad)[:n].reshape(self.shape)
-            return dp, (dsinks.reshape(-1) if n_c else None)
+            return dp2, (dsinks.reshape(-1) if n_c else None)
 
+        def fn(c, bounds, p_box, mask_box, origin0=0, own_lo=0,
+               own_hi=None):
+            p2 = pad2(p_box.astype(dtype))
+            m2 = None if synth else pad2(mask_box.astype(dtype))
+            dp2, sinks = fn_padded(c, bounds, p2, m2, origin0, own_lo,
+                                   own_hi)
+            dp = dp2.reshape(n_pad)[:n].reshape(self.shape)
+            return dp, sinks
+
+        fn.padded = fn_padded
+        fn.pad2 = pad2
         return fn
 
     @property
@@ -564,3 +611,15 @@ class PallasBoxKernel:
                  own_hi=None):
         return self._call(c, bounds, p_box, mask_box, origin0, own_lo,
                           own_hi)
+
+    def call_padded(self, c, bounds, p2, m2, origin0=0, own_lo=0,
+                    own_hi=None):
+        """Padded-layout matvec: [rows_pad, 128] in and out (see
+        ``fn_padded``)."""
+        return self._call_padded(c, bounds, p2, m2, origin0, own_lo,
+                                 own_hi)
+
+    def pad2(self, box_or_flat):
+        """Zero-pad a box-shaped (or flat [n]) array into the kernel's
+        [rows_pad, 128] layout (pure; traceable)."""
+        return self._fn.pad2(box_or_flat)

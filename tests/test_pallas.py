@@ -154,3 +154,101 @@ def test_pallas_end_to_end_solve():
     m1 = d_pal.marginal(0)
     n = min(m0.size, m1.size)
     assert np.abs(m0[:n] - m1[:n]).sum() < 1e-10
+
+
+def test_pallas_padded_layout_equivalence():
+    """The flat padded [n_pad] fast path (call_padded, no per-matvec
+    pad/unpad) must match the box-layout action exactly, with an exactly
+    zero tail (the invariant the integrators rely on when carrying the
+    padded layout end-to-end)."""
+    b = pm.models.repressilator()
+    cs = ConstraintSet(None, np.array([25, 15, 15]), np.full(3, 0.2))
+    space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+    op = BoxOperator(b.model, space, dtype=jnp.float64, use_pallas=True)
+    assert op.padded_layout
+
+    rng = np.random.default_rng(1)
+    p_box = jnp.asarray(rng.random(space.shape), jnp.float64) * op.mask_f
+    nc = space.num_constraints
+    y_box = FspVector(p=p_box, sinks=jnp.zeros((nc,), jnp.float64))
+    want = op.action(0.3, y_box)
+
+    p_flat = op.to_padded(p_box)
+    assert p_flat.shape == (op.n_pad,)
+    y_flat = FspVector(p=p_flat, sinks=jnp.zeros((nc,), jnp.float64))
+    got = op.action(0.3, y_flat)
+
+    assert got.p.shape == (op.n_pad,)
+    n = int(np.prod(space.shape))
+    np.testing.assert_allclose(
+        np.asarray(op.from_padded(got.p)), np.asarray(want.p),
+        rtol=1e-12, atol=1e-13)
+    # tail must be exactly zero — integrator norms/dots see the raw vector
+    assert not np.asarray(got.p[n:]).any()
+    np.testing.assert_allclose(np.asarray(got.sinks),
+                               np.asarray(want.sinks),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_pallas_padded_layout_tiled_grid():
+    """Padded fast path through the grid-tiled kernel (grid > 1)."""
+    import pacmensl_tpu.ops.pallas_box as pb
+    b = pm.models.repressilator()
+    cs = ConstraintSet(None, np.array([25, 23, 23]), np.full(3, 0.2))
+    space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+    old_budget, old_tile = pb.VMEM_BUDGET, pb.TILE_ROWS
+    pb.VMEM_BUDGET, pb.TILE_ROWS = 16 * 1024, 40
+    try:
+        op = BoxOperator(b.model, space, dtype=jnp.float64,
+                         use_pallas=True)
+        assert op._pallas.grid > 1 and op.padded_layout
+        rng = np.random.default_rng(2)
+        p_box = jnp.asarray(rng.random(space.shape), jnp.float64) \
+            * op.mask_f
+        nc = space.num_constraints
+        want = op.action(0.1, FspVector(
+            p=p_box, sinks=jnp.zeros((nc,), jnp.float64)))
+        got = op.action(0.1, FspVector(
+            p=op.to_padded(p_box), sinks=jnp.zeros((nc,), jnp.float64)))
+        n = int(np.prod(space.shape))
+        np.testing.assert_allclose(
+            np.asarray(op.from_padded(got.p)), np.asarray(want.p),
+            rtol=1e-12, atol=1e-13)
+        assert not np.asarray(got.p[n:]).any()
+        np.testing.assert_allclose(np.asarray(got.sinks),
+                                   np.asarray(want.sinks),
+                                   rtol=1e-12, atol=1e-13)
+    finally:
+        pb.VMEM_BUDGET, pb.TILE_ROWS = old_budget, old_tile
+
+
+def test_padded_layout_full_solve_matches_reference_path():
+    """End-to-end FSP solve (expand loop included) through the padded-layout
+    fast path (pallas=True, interpret on CPU) vs the default XLA box path.
+    Covers the solver's padded initial vector, epoch scatter across a
+    capacity change, and distribution extraction."""
+    b = pm.models.repressilator()
+
+    def run(pallas):
+        s = pm.FspSolverMultiSinks(backend="box", odes_type="krylov",
+                                   dtype=jnp.float64, pallas=pallas)
+        s.set_model(b.model)
+        s.set_initial_bounds(np.array([22, 2, 2]))
+        s.set_expansion_factors(np.array([0.2, 0.2, 0.2]))
+        s.set_initial_distribution(b.x0, b.p0)
+        return s.solve(1.0, 1.0e-4)
+
+    want = run(False)
+    got = run(True)
+    assert got.num_states == want.num_states
+    # the two paths round differently, so the adaptive integrators take
+    # different step sequences: agreement is bounded by the ODE tolerance,
+    # not machine epsilon — compare in total variation at that scale
+    tv = 0.5 * float(np.abs(np.asarray(got.p)
+                            - np.asarray(want.p)).sum())
+    assert tv < 1e-6, tv
+    # sink mass integrates the leaked flux along the (diverged) step
+    # sequence; agreement is at the FSP tolerance scale, not roundoff
+    np.testing.assert_allclose(np.asarray(got.sinks),
+                               np.asarray(want.sinks),
+                               rtol=5e-2, atol=1e-8)
