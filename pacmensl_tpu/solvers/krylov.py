@@ -231,22 +231,36 @@ class KrylovSolver:
                     phi1 > 10.0 * phi2, phi2,
                     jnp.where(phi1 > phi2,
                               (phi1 * phi2) / (phi1 - phi2), phi1))
-                err_loc = jnp.where(k1 == 0, self.btol, err_loc)
+                # Happy breakdown (k1 == 0): the basis spans an invariant
+                # subspace, so expm(tau*Hm) is EXACT for any tau — local
+                # error is zero and the step must be accepted
+                # unconditionally (reference KrylovFsp.cpp completes on
+                # any space size).  Setting err_loc = btol here (the old
+                # code) made acceptance require tau >= btol/(abs_tol*delta)
+                # while the rejection loop only *shrinks* tau — a death
+                # spiral for spaces smaller than m_min (every FSP solve's
+                # early epochs).
+                err_loc = jnp.where(k1 == 0, 0.0, err_loc)
                 omega = err_loc / (self.abs_tol * tau)
+                # omega == 0 would make the tau/m suggestions inf/nan
+                # below; floor it for the suggestion math only (success
+                # uses the true omega, and clip bounds the suggestion).
+                omega_s = jnp.maximum(omega, 1.0e-16)
                 order2 = jnp.where(
                     ir > 0,
-                    jnp.maximum(1.0, jnp.log(omega / omega_old) /
+                    jnp.maximum(1.0, jnp.log(omega_s / jnp.maximum(
+                        omega_old, 1.0e-16)) /
                                 jnp.log(tau / t_step_old)),
                     order)
                 # step-size suggestion with decimal rounding
                 # (KrylovFsp.cpp:193-197)
-                ts = self.gamma * tau * jnp.power(omega, -1.0 / order2)
+                ts = self.gamma * tau * jnp.power(omega_s, -1.0 / order2)
                 sdig = jnp.power(10.0, jnp.floor(jnp.log10(ts)) - 1)
                 ts = jnp.ceil(ts / sdig) * sdig
                 ts = jnp.clip(ts, 0.2 * tau, 5.0 * tau)
                 ts = jnp.minimum(t_final - t_now, ts)
                 # dimension suggestion (KrylovFsp.cpp:199-201), kappa = 2
-                msug = m + jnp.ceil(jnp.log(omega / self.gamma) /
+                msug = m + jnp.ceil(jnp.log(omega_s / self.gamma) /
                                     jnp.log(2.0)).astype(m.dtype)
                 msug = jnp.clip(msug, 3 * m // 4, 4 * m // 3 + 1)
                 msug = jnp.clip(msug, self.m_min, self.m_max)
