@@ -254,23 +254,105 @@ class FspSolverMultiSinks:
         return self
 
     # -------------------------------------------------------------- setup
+    def _box_elem_budget(self) -> float:
+        """Box-backend element budget derived from the vector-memory
+        budget: the integrator keeps many box-shaped vectors alive
+        (Krylov: m_max + 2 basis/work vectors), so usable box capacity is
+        budget_bytes / (live_vectors * itemsize).  Overridable via
+        PACMENSL_BOX_MEM_BUDGET (bytes)."""
+        import os
+        mem = float(os.environ.get("PACMENSL_BOX_MEM_BUDGET", 8.0e9))
+        odes = self._resolve_odes_type()
+        if odes in (ODESolverType.KRYLOV, ODESolverType.EPIC):
+            vecs = self.krylov_dim_range[1] + 2
+        else:
+            vecs = 16   # BDF history + GMRES basis
+        return mem / (vecs * np.dtype(self.dtype).itemsize)
+
     def _choose_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        # Dense-box is the TPU-native default for hyper-rectangle shapes.
-        # Custom constraint functions (products/sums, e.g. repressilator's
-        # x_i * x_j <= b) carve thin crosses/slabs out of their bounding
-        # box — measured fill 4-18% over the reference repressilator
-        # benchmark — so the compressed gather backend wins on both memory
-        # (the Krylov basis holds m_max+1 box copies) and FLOPs.
+        # Dense-box is the TPU-native default: the fused stencil kernel
+        # runs ~200x faster per valid nonzero than the XLA gather matvec
+        # of the compressed backend (BENCH_r02: 65 Gnnz/s vs ~0.3), so a
+        # masked box wins whenever the constraint set fills more than a
+        # few percent of its bounding box and the box fits the vector
+        # memory budget.  Custom constraint functions (products/sums,
+        # e.g. repressilator's x_i * x_j <= b) measure ~12-40% fill over
+        # the reference benchmark's whole trajectory.  The solve migrates
+        # itself to the compressed backend mid-flight if expansion
+        # outgrows the budget or fill collapses (_should_leave_box).
         if self.constraints.fn is not None:
-            return "ell"
+            # custom shapes pay box-volume work for fill-fraction states;
+            # that trade only wins where the fused stencil kernel runs
+            # (TPU): measured 65 Gnnz/s fused vs ~0.3 Gnnz/s for the XLA
+            # gather matvec.  On CPU the gather backend stays faster.
+            from ..ops.pallas_box import is_tpu_device, mesh_is_tpu
+            on_tpu = (mesh_is_tpu(self.mesh) if self.mesh is not None
+                      else is_tpu_device())
+            if not on_tpu:
+                return "ell"
         box_bounds = self.constraints.derive_box_bounds(
             self.model.num_species, self._init_states)
         box_size = float(np.prod(np.asarray(box_bounds, np.float64) + 1))
-        if box_size > 2e8:
+        if box_size > min(2e8, self._box_elem_budget()):
             return "ell"
         return "box"
+
+    def _should_leave_box(self, new_bounds) -> bool:
+        """Decide, before a box-backend expansion, whether the solve must
+        migrate to the compressed (ELL) backend: the grown bounding box
+        would exceed the vector memory budget, or the constraint set has
+        become so sparse in its box that gather wins over stencil."""
+        if self._backend_used != "box":
+            return False
+        cs_new = self.constraints.with_bounds(new_bounds)
+        box = cs_new.derive_box_bounds(self.model.num_species,
+                                       self._init_states)
+        from ..statespace.box_space import _round_capacity, MAX_BOX_ELEMS
+        cap = float(np.prod([
+            _round_capacity(int(b) + 1, int(q))
+            for b, q in zip(box, self.pad_quanta_for_space())]))
+        if cap > min(float(MAX_BOX_ELEMS), self._box_elem_budget()):
+            return True
+        n = self._space.num_states
+        return n > 5.0e5 and n < 0.015 * self._space.size
+
+    def pad_quanta_for_space(self) -> np.ndarray:
+        pad_quanta = np.ones(self.model.num_species, np.int64)
+        if self.mesh is not None:
+            pad_quanta[0] = self.mesh.devices.size
+        return pad_quanta
+
+    def _migrate_box_to_ell(self) -> None:
+        """Switch a running box-backend solve to the compressed backend,
+        carrying over the current state set and solution.  The reference
+        has no analogue (its representation never changes); here it is
+        the safety valve that keeps the fast dense path the default
+        without risking OOM on pathologically sparse/unbounded shapes."""
+        if self.verbosity:
+            print(f"[fsp] t = {self._t_now:.4g}: box exceeds budget/fill "
+                  "threshold, migrating to the compressed backend")
+        states = self._space.states()               # current valid states
+        p_dev = self._y.p
+        if p_dev.ndim == 1 and getattr(self._operator, "padded_layout",
+                                       False):
+            p_dev = self._operator.from_padded(p_dev)
+        p_vals = self._space.extract_valid(p_dev)   # host, states() order
+        sinks_old = self._y.sinks
+        self._backend_used = "ell"
+        self._space = StateSet(self.model.stoichiometry, self.constraints,
+                               init_states=states)
+        self._space.expand()
+        self._maybe_partition(force=True)
+        self._operator = None        # built lazily by the expand flow
+        self._ode_solver = None
+        idx = self._space.state2index(states)
+        order = np.argsort(idx)
+        # solution as a flat [n] vector in insertion order (the ELL expand
+        # scatter below re-maps it into the padded layout)
+        self._y = FspVector(p=jnp.asarray(p_vals[order], self.dtype),
+                            sinks=sinks_old)
 
     def set_up(self) -> "FspSolverMultiSinks":
         if self.model is None:
@@ -475,6 +557,9 @@ class FspSolverMultiSinks:
         if self.verbosity:
             print(f"[fsp] t = {self._t_now:.4g}: expanding to bounds "
                   f"{new_bounds.tolist()}")
+        if self._should_leave_box(new_bounds):
+            with self.events.timed(EVT_PARTITION):
+                self._migrate_box_to_ell()
         p_old, sinks_old = self._y.p, self._y.sinks
         n_before = self._space.num_states
         with self.events.timed(EVT_PARTITION):
@@ -499,7 +584,11 @@ class FspSolverMultiSinks:
             # epoch, FspMatrixConstrained.cpp:121-282 — an XLA recompile is
             # NOT cheap, so capacity is padded geometrically)
             with self.events.timed(EVT_MATGEN):
-                capacity_grew = self._operator.reassemble()
+                if self._operator is None:       # fresh after migration
+                    self._build_operator()
+                    capacity_grew = True
+                else:
+                    capacity_grew = self._operator.reassemble()
             if capacity_grew:
                 self._ode_solver = None
         elif capacity_grew:
@@ -507,7 +596,18 @@ class FspSolverMultiSinks:
                 self._build_operator()
             self._ode_solver = None     # shapes changed: re-jit
         else:
+            was_padded = getattr(self._operator, "padded_layout", False)
             self._operator.refresh_data()
+            if was_padded and not getattr(self._operator, "padded_layout",
+                                          False):
+                # rare mid-capacity kernel downgrade (e.g. the synth-mask
+                # rebuild in refresh_data failed): the carried vector is in
+                # the flat padded layout the remaining paths no longer
+                # accept — convert it back to box layout and re-jit
+                self._y = FspVector(
+                    p=self._operator.from_padded(self._y.p),
+                    sinks=self._y.sinks)
+                self._ode_solver = None
         with self.events.timed(EVT_SCATTER):
             if self._backend_used == "box":
                 if capacity_grew:

@@ -385,13 +385,15 @@ class BoxOperator:
         c = self.model.coefficients(t, self.dtype)
 
         if (p.ndim == 1 and self.padded_layout
-                and p.shape[0] == self._pallas.n_pad
-                and p.shape[0] != self._n):
+                and p.shape[0] == self._pallas.n_pad):
             # padded fast path: p is the flat zero-padded [n_pad] vector in
             # the kernel's [rows_pad, 128] layout — no per-matvec pad/unpad
             # HBM copies (the integrators carry this layout end-to-end).
-            # (A 1-D *box* vector has exactly n == prod(shape) entries and
-            # keeps the legacy path below.)
+            # When n_pad == n (tile-aligned box) the padded layout IS the
+            # C-order flattening, so taking this path is correct for flat
+            # box vectors too — rejecting them (the old `!= self._n`
+            # guard) sent a flat vector down the legacy path, whose
+            # box-shaped output then crashed the integrator's axpy.
             kern = self._pallas
             c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
                                 self.dtype)

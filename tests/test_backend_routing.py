@@ -1,0 +1,70 @@
+"""Backend routing + mid-solve box->ELL migration.
+
+Round-3 change: custom-constraint (non-hyper-rectangle) solves route to
+the dense box backend wherever the fused stencil kernel runs (TPU),
+because a masked box at the measured 12-40% fill beats the gather matvec
+by ~2 orders of magnitude per valid nonzero.  The safety valve is a
+mid-solve migration to the compressed backend when expansion outgrows
+the vector-memory budget (PACMENSL_BOX_MEM_BUDGET) or fill collapses.
+These tests pin the migration semantics and box/ELL agreement for the
+flagship custom-constraint shape on CPU.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import pacmensl_tpu as pm
+
+
+def _solve(backend, t_final=1.0, budget=None, monkeypatch=None):
+    if budget is not None:
+        monkeypatch.setenv("PACMENSL_BOX_MEM_BUDGET", str(budget))
+    b = pm.models.repressilator()
+    s = pm.FspSolverMultiSinks(backend=backend)
+    s.set_model(b.model)
+    s.set_constraint_functions(b.constraint)
+    s.set_initial_bounds(b.bounds)
+    s.set_expansion_factors(b.expansion_factors)
+    s.set_initial_distribution(b.x0, b.p0)
+    d = s.solve(t_final, 1e-4)
+    return d, s
+
+
+def _as_dict(d):
+    return {tuple(x): float(p) for x, p in zip(d.states, d.p)}
+
+
+def test_custom_constraint_box_matches_ell():
+    """Product-constraint repressilator through the box backend must give
+    the ELL backend's distribution (same states, TV at solver-tolerance
+    scale)."""
+    d_box, s_box = _solve("box")
+    d_ell, s_ell = _solve("ell")
+    assert s_box._backend_used == "box"
+    assert d_box.num_states == d_ell.num_states
+    a, b = _as_dict(d_box), _as_dict(d_ell)
+    assert set(a) == set(b)
+    tv = 0.5 * sum(abs(a[k] - b[k]) for k in a)
+    assert tv < 1e-5, tv
+
+
+def test_box_migrates_to_ell_on_budget(monkeypatch):
+    """A vector-memory budget too small for the growing box must trigger
+    the mid-solve migration — and the final answer must match a pure-box
+    solve."""
+    d_ref, _ = _solve("box", t_final=1.0)
+    d_mig, s = _solve("box", t_final=1.0, budget=5e5,
+                      monkeypatch=monkeypatch)
+    assert s._backend_used == "ell", "migration did not trigger"
+    a, b = _as_dict(d_ref), _as_dict(d_mig)
+    assert set(a) == set(b)
+    tv = 0.5 * sum(abs(a[k] - b[k]) for k in a)
+    assert tv < 1e-5, tv
+
+
+def test_auto_routing_on_cpu_prefers_ell_for_custom_fn():
+    """On CPU (no fused kernel) auto keeps custom constraints on the
+    compressed backend."""
+    _, s = _solve("auto", t_final=0.2)
+    assert s._backend_used == "ell"

@@ -252,3 +252,39 @@ def test_padded_layout_full_solve_matches_reference_path():
     np.testing.assert_allclose(np.asarray(got.sinks),
                                np.asarray(want.sinks),
                                rtol=5e-2, atol=1e-8)
+
+
+def test_padded_layout_when_n_pad_equals_n():
+    """Regression (round-3 advice): a tile-aligned box (prod(shape) a
+    multiple of 128 with no row padding) has n_pad == n; the flat padded
+    initial vector must still take the kernel's padded path — the old
+    guard sent it down the legacy box path whose box-shaped output
+    crashed the integrator's axpy at trace time."""
+    from pacmensl_tpu.models.model import Model
+
+    # 4 independent birth-death species, bounds 3 each -> box (4,4,4,4),
+    # n = 256 = 2 rows of 128, no padding
+    S = 4
+    stoich = np.vstack([np.eye(S, dtype=int), -np.eye(S, dtype=int)])
+
+    def prop(x, r):
+        xf = x.astype(jnp.float64) if not jnp.issubdtype(
+            x.dtype, jnp.floating) else x
+        if r < S:
+            return jnp.full_like(xf[:, 0], 0.8)
+        return 0.5 * xf[:, r - S]
+
+    m = Model(stoich, prop)
+    s = pm.FspSolverMultiSinks(backend="box", odes_type="krylov",
+                               dtype=jnp.float64, pallas=True)
+    s.set_model(m)
+    s.set_initial_bounds([3, 3, 3, 3])
+    s.set_expansion_factors([0.0, 0.0, 0.0, 0.0])
+    s.set_initial_distribution(np.zeros((1, S), np.int64), np.array([1.0]))
+    s.set_up()
+    assert s._operator.padded_layout
+    assert s._operator.n_pad == int(np.prod(s._space.shape)), \
+        "test needs the tile-aligned n_pad == n case"
+    d = s.solve(0.3, 0.0)           # fixed space, short horizon
+    total = float(d.sum()) + float(d.sinks.sum())
+    assert abs(total - 1.0) < 1e-8

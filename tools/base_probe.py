@@ -111,8 +111,9 @@ def main():
     def zero_coords(self, nrows, base_row=0):
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
+        idx = (row_iota + base_row) * 128 + lane_iota
         z = row_iota * 0
-        return [z for _ in self.strides], lane_iota
+        return [z for _ in self.strides], lane_iota, idx
     if os.environ.get("ZERO_COORDS") == "1":   # crashes Mosaic on axon
         pb.PallasBoxKernel._coords = zero_coords
         kz = build()
@@ -146,7 +147,7 @@ def main():
             q = div(idx, sd) if sd > 1 else idx
             coords[d] = q if q_hi is None else q - q_hi * self.shape[d]
             q_hi = q
-        return coords, lane_iota
+        return coords, lane_iota, idx
     pb.PallasBoxKernel._coords = frc_coords
     kf = build()
     timeit("frc-coords kernel", lambda a: kf._call(c, bnd, a, mask)[0], p)
