@@ -121,8 +121,20 @@ def main():
     # Return a SCALAR: fetching the full array back through the device
     # tunnel would measure RPC transfer, not HBM streaming.  Two-point
     # K-slope cancels the fixed dispatch latency like the SpMV timing.
+    #
+    # The probe is a two-buffer PING-PONG (b_{k+1} = a_k * c; a_{k+1} =
+    # b_k): the multiply's input alternates buffers every iteration, so
+    # each loop step must genuinely read n elements from one HBM buffer
+    # and write n to the other — 2*n*itemsize of traffic per iteration
+    # that XLA can neither strength-reduce (a_k * c^k) nor keep cache/
+    # register-resident.  (The previous single-buffer `a * c` chain was
+    # collapsed by XLA and reported ~8.8 TB/s on an ~819 GB/s chip.)
     def stream(k, v):
-        return lax.fori_loop(0, k, lambda i, a: a * 1.0000001, v).sum()
+        def body(i, ab):
+            a, b = ab
+            return (b, a * dtype(1.0000001))
+        a, b = lax.fori_loop(0, k, body, (v, v + dtype(1.0)))
+        return a.sum() + b.sum()
     stream_j = jax.jit(stream, static_argnums=0)
     stream_j(k_lo, x).block_until_ready()
     stream_j(k_hi, x).block_until_ready()
@@ -133,6 +145,11 @@ def main():
     t2 = time.perf_counter()
     bw = 2.0 * n_elems * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
         max((t2 - t1) - (t1 - t0), 1e-9)
+    # sanity: a v5e datasheet reads ~819 GB/s HBM; a measurement far above
+    # means the probe collapsed again and the roofline below is noise
+    if bw > 1.3e12:
+        log(f"WARNING: stream probe measured {bw/1e9:.0f} GB/s — above "
+            "any plausible single-chip HBM rate; roofline suspect")
     kern = getattr(op, "_pallas", None)
     if kern is not None:
         halo = (2.0 * kern.halo_rows / kern.tile_rows

@@ -273,9 +273,25 @@ class BoxOperator:
             # longer equals the stored one — rebuild the kernel in
             # mask-reading mode (rare; costs one retrace)
             self._pallas = self._maybe_build_pallas(self._use_pallas_mode)
-        sink_idx, sink_val, sink_rid = self._build_sink_shell(bounds_np)
-        mask_f = jnp.asarray(
-            self.space.mask_host.astype(jnp.dtype(self.dtype)))
+        kern = getattr(self, "_pallas", None)
+        if kern is not None and getattr(kern, "has_sinks", False):
+            # the kernel computes sink derivatives in-register from the
+            # SMEM bounds — the boundary-shell arrays would never be read.
+            # Skipping their (host-side) construction removes an O(R * n)
+            # numpy sweep from every expansion epoch.
+            n_c = self.num_constraints
+            m_pad = max(self.sink_m_pad, 1)
+            sink_idx = jnp.zeros((n_c, m_pad), jnp.int32)
+            sink_val = jnp.zeros((n_c, m_pad), self.dtype)
+            sink_rid = jnp.zeros((n_c, m_pad), jnp.int32)
+        else:
+            sink_idx, sink_val, sink_rid = self._build_sink_shell(bounds_np)
+        if getattr(self.space, "build_on_device", False):
+            # device-built mask: stays on device end-to-end (no host cast)
+            mask_f = self.space.mask.astype(jnp.dtype(self.dtype))
+        else:
+            mask_f = jnp.asarray(
+                self.space.mask_host.astype(jnp.dtype(self.dtype)))
         kern = getattr(self, "_pallas", None)
         mask_p2 = (kern.pad2(mask_f) if self.padded_layout
                    and not kern.synth_mask else None)

@@ -106,10 +106,32 @@ class BoxStateSpace:
                  constraints: ConstraintSet,
                  init_states,
                  track_reachability: bool = True,
-                 pad_quanta=None):
+                 pad_quanta=None,
+                 prealloc_budget: Optional[float] = None,
+                 growable_axes=None,
+                 build_on_device: bool = False):
         """``pad_quanta``: per-axis size quanta; each capacity axis is
         rounded up to a multiple of its quantum (used to make the sharded
-        axis divisible by the mesh size)."""
+        axis divisible by the mesh size).
+
+        ``prealloc_budget``: element budget for *eager capacity
+        allocation*.  Adaptive FSP solves grow their bounds dozens of
+        times; every capacity change is an XLA recompile of the whole
+        jitted solve (seconds on a tunneled TPU), while running the fused
+        kernel on a larger-than-needed box costs only proportional VPU/HBM
+        work (microseconds per matvec).  With a budget set, capacities are
+        water-filled up-front — all growable axes share a common cap C
+        chosen so the box fills the budget — so the entire adaptive solve
+        usually runs at ONE set of shapes (one compile).  ``growable_axes``
+        limits the water-filling to axes that can actually grow (e.g.
+        coordinate-bound axes with a positive expansion factor).
+
+        ``build_on_device``: run the mask builder (constraint check + BFS
+        reachability) on the default device instead of the host CPU
+        backend — the right choice whenever capacity is stable (one
+        compile) and the box is large (device BFS is memory-bound at HBM
+        speed; the host copy of the mask becomes lazy).
+        """
         self.stoich = np.atleast_2d(np.asarray(stoichiometry, dtype=np.int64))
         self.constraints = constraints
         self.init_states = np.atleast_2d(
@@ -122,8 +144,15 @@ class BoxStateSpace:
         self.pad_quanta = (np.ones(self.num_species, dtype=np.int64)
                            if pad_quanta is None
                            else np.asarray(pad_quanta, dtype=np.int64))
+        self.prealloc_budget = (None if prealloc_budget is None
+                                else float(prealloc_budget))
+        self.growable_axes = (np.ones(self.num_species, dtype=bool)
+                              if growable_axes is None
+                              else np.asarray(growable_axes, dtype=bool))
+        self.build_on_device = bool(build_on_device)
         self._shape = None
         self._mask_builder = None
+        self._prev_mask = None      # incremental BFS seed (device or host)
         self._build()
 
     # ------------------------------------------------------------ basics
@@ -151,11 +180,12 @@ class BoxStateSpace:
     def mask(self) -> jnp.ndarray:
         """Validity mask over the box (True = state belongs to the FSP set).
 
-        Materialized on the default backend lazily: assembly-phase code
-        reads :attr:`mask_host` instead, so a solve's first device traffic
-        is the solution vector itself."""
+        In device-build mode this IS the builder's output (no host
+        round-trip); otherwise it is materialized on the default backend
+        lazily, so a host-built solve's first device traffic is the
+        solution vector itself."""
         if self._mask is None:
-            self._mask = jnp.asarray(self._mask_host)
+            self._mask = jnp.asarray(self._mask_host_cache)
         return self._mask
 
     @property
@@ -175,10 +205,12 @@ class BoxStateSpace:
         destroy (not sink) the outward flux.  Under-coverage can happen
         when coordinate-gated constraints defeat the corner probe of
         ``derive_box_bounds``; leaking axes are grown and the build
-        repeats."""
+        repeats.  (The leak bits come out of the same jitted mask-builder
+        program as the mask itself — one fused device sweep, no host
+        enumeration of face states.)"""
         for _ in range(64):
             self._build_once()
-            leaks = self._face_leaks()
+            leaks = self._leaks
             if not leaks.any():
                 return
             floor = getattr(self, "_box_floor",
@@ -190,33 +222,38 @@ class BoxStateSpace:
         raise StateSpaceError(
             "box face closure did not converge: the constraint set appears "
             "unbounded along axes "
-            f"{np.nonzero(self._face_leaks())[0].tolist()}")
+            f"{np.nonzero(self._leaks)[0].tolist()}")
 
-    def _face_leaks(self) -> np.ndarray:
-        """Per-axis flag: capacity face i holds a valid state with a
-        constraint-satisfying outward neighbor (box too small)."""
-        S = self.num_species
-        leaks = np.zeros(S, dtype=bool)
-        for i in range(S):
-            grow_rs = [r for r in range(self.num_reactions)
-                       if self.stoich[r][i] > 0]
-            if not grow_rs:
-                continue
-            face = np.take(self._mask_host, self._shape[i] - 1, axis=i)
-            if not face.any():
-                continue
-            idx = np.argwhere(face)                      # [m, S-1]
-            states = np.zeros((idx.shape[0], S), np.int64)
-            states[:, [d for d in range(S) if d != i]] = idx
-            states[:, i] = self._shape[i] - 1
-            for r in grow_rs:
-                tgt = states + self.stoich[r][None, :]
-                ok = np.asarray(self.constraints.all_satisfied(tgt)) \
-                    & (tgt >= 0).all(axis=1)
-                if ok.any():
-                    leaks[i] = True
-                    break
-        return leaks
+    def _prealloc_shape(self, raw_shape) -> tuple:
+        """Water-filled capacity: all growable axes share a common cap C,
+        chosen (binary search) so the box fills — but does not exceed —
+        the element budget; non-growable axes stay at their ladder size.
+        Monotone over the existing allocation."""
+        ext = np.maximum(np.asarray(raw_shape, np.int64),
+                         np.asarray(self._shape or [0] * len(raw_shape),
+                                    np.int64))
+        grow = self.growable_axes
+        budget = min(self.prealloc_budget, float(MAX_BOX_ELEMS))
+
+        def dims_for(C):
+            return tuple(
+                _round_capacity(max(int(e), C if g else 0), int(q))
+                for e, g, q in zip(ext, grow, self.pad_quanta))
+
+        if float(np.prod(np.asarray(dims_for(1), np.float64))) > budget:
+            raise StateSpaceError(
+                f"FSP box extents {tuple(int(e) for e in ext)} exceed the "
+                f"preallocation budget {budget:.3g} elements — use the "
+                "compressed backend or raise PACMENSL_BOX_MEM_BUDGET.")
+        lo, hi = 1, int(max(ext)) + int(budget)
+        while lo < hi:                      # largest C within budget
+            mid = (lo + hi + 1) // 2
+            if float(np.prod(np.asarray(dims_for(mid), np.float64))) \
+                    <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        return dims_for(lo)
 
     def _build_once(self):
         box_bounds = self.constraints.derive_box_bounds(
@@ -236,15 +273,19 @@ class BoxStateSpace:
             raise StateSpaceError("initial states outside the box")
 
         # Capacity: keep the current allocation when the box still fits,
-        # else round the new extents up the ladder (and mesh quanta).
+        # else round the new extents up the ladder (and mesh quanta) — or
+        # water-fill the whole element budget when preallocating.
         if self._shape is None or \
                 any(int(s) > c for s, c in zip(raw_shape, self._shape)):
-            new_shape = tuple(
-                max(_round_capacity(int(s), int(qi)), c)
-                for s, c, qi in zip(
-                    raw_shape,
-                    self._shape or (0,) * len(raw_shape),
-                    self.pad_quanta))
+            if self.prealloc_budget is not None:
+                new_shape = self._prealloc_shape(raw_shape)
+            else:
+                new_shape = tuple(
+                    max(_round_capacity(int(s), int(qi)), c)
+                    for s, c, qi in zip(
+                        raw_shape,
+                        self._shape or (0,) * len(raw_shape),
+                        self.pad_quanta))
             new_size = int(np.prod(np.asarray(new_shape, np.float64)))
             if new_size > MAX_BOX_ELEMS:
                 raise StateSpaceError(
@@ -254,23 +295,55 @@ class BoxStateSpace:
                     "longer fits a dense box — use the compressed backend "
                     "(FspSolverMultiSinks(backend='ell')), tighten the "
                     "constraints, or raise the budget.")
+            # embed the previous mask into the new capacity so the BFS
+            # below restarts from the already-known reachable set
+            if self._prev_mask is not None:
+                prev = self._prev_mask
+                if self.build_on_device:
+                    pad = [(0, n - o, 0) for n, o in zip(
+                        new_shape, prev.shape)]
+                    self._prev_mask = lax.pad(prev, jnp.zeros((), bool),
+                                              pad)
+                else:
+                    grown = np.zeros(new_shape, dtype=bool)
+                    grown[tuple(slice(0, o) for o in prev.shape)] = prev
+                    self._prev_mask = grown
             self._shape = new_shape
             self._mask_builder = self._make_mask_builder(new_shape)
 
         seed_np = np.ravel_multi_index(tuple(self.init_states.T),
                                        self._shape)   # C-order, padded
-        # Assembly-phase computation runs on the host CPU backend: mask
-        # building is a one-shot setup op, and on a tunneled TPU every
-        # fresh compile costs seconds of RPC latency (the persistent
-        # compile cache does not survive the tunnel), so compiling the
-        # BFS while-loop remotely would dominate solve setup.  The mask
-        # ships to the default device once, as data.
-        from ..sys.environment import local_cpu_device
-        cpu = local_cpu_device()
-        with jax.default_device(cpu):
-            mask_cpu, n, n_ok = self._mask_builder(
-                jax.device_put(np.asarray(self.constraints.bounds), cpu),
-                jax.device_put(seed_np, cpu))
+        bounds_np = np.asarray(self.constraints.bounds)
+        if self._prev_mask is None:
+            if self.build_on_device:
+                self._prev_mask = jnp.zeros(self._shape, dtype=bool)
+            else:
+                self._prev_mask = np.zeros(self._shape, dtype=bool)
+        if self.build_on_device:
+            # One compiled program per capacity, run at device speed; with
+            # preallocation the capacity never changes, so the whole
+            # adaptive solve compiles the builder exactly once and each
+            # epoch's rebuild is a few milliseconds of device work.  The
+            # incremental seed (previous mask) makes the BFS converge in
+            # O(bound growth) dilations instead of O(set diameter).
+            mask, n, n_ok, leaks = self._mask_builder(
+                jnp.asarray(bounds_np), jnp.asarray(seed_np))
+            self._mask = mask
+            self._mask_host_cache = None      # lazy device_get
+        else:
+            # Host CPU backend: compiles are local and fast; the mask
+            # ships to the default device once, as data (tunneled-TPU
+            # setups never pay remote-compile RPC for assembly).
+            from ..sys.environment import local_cpu_device
+            cpu = local_cpu_device()
+            with jax.default_device(cpu):
+                mask_cpu, n, n_ok, leaks = self._mask_builder(
+                    jax.device_put(bounds_np, cpu),
+                    jax.device_put(seed_np, cpu))
+            self._mask_host_cache = np.asarray(jax.device_get(mask_cpu))
+            # Device copy (uncommitted, resharding-friendly) is created
+            # lazily by the ``mask`` property.
+            self._mask = None
         self._num_states = int(jax.device_get(n))
         # Whenever BFS reachability prunes nothing (mask == constraint-ok,
         # the common case for the bundled models), the mask is a pure
@@ -278,36 +351,70 @@ class BoxStateSpace:
         # in-register instead of reading it from HBM.
         self.mask_is_constraint_only = (self._num_states
                                         == int(jax.device_get(n_ok)))
-        self._mask_host = np.asarray(jax.device_get(mask_cpu))
-        # Device copy (uncommitted, resharding-friendly) is created lazily
-        # by the ``mask`` property.
-        self._mask = None
+        self._leaks = np.asarray(jax.device_get(leaks), dtype=bool)
+        if not self._leaks.any():
+            # keep only converged masks as future BFS seeds (a leaking
+            # build repeats at larger capacity from the same seed)
+            self._prev_mask = (self._mask if self.build_on_device
+                               else self._mask_host_cache)
 
     def _make_mask_builder(self, shape):
         """One jitted program builds the whole mask (constraint check + BFS
-        reachability closure + count).  Compiled once per capacity; the
-        constraint bounds and BFS seed are runtime arguments, so every
-        expansion epoch that stays within capacity reuses it."""
+        reachability closure + count + face-closure leak bits).  Compiled
+        once per capacity; the constraint bounds and BFS seed are runtime
+        arguments (the incremental seed mask is closed state refreshed per
+        call via the ``_prev_mask`` attribute — passed as an argument), so
+        every expansion epoch at fixed capacity reuses the executable."""
         shifts = tuple(tuple(int(v) for v in row) for row in self.stoich)
         track = self.track_reachability
         values_fn = self.constraints.values_fn
+        S = self.num_species
+        stoich = self.stoich
         # Diameter bound: BFS can traverse at most the full box extent
         # in every dimension per unit shift.
         max_iters = int(sum(shape)) + 1
 
-        @jax.jit
-        def build_mask(bounds_arr, seed_flat_idx):
+        def build_mask(bounds_arr, seed_flat_idx, prev_mask):
             coords = coord_grid(shape)
-            ok = jnp.all(values_fn(coords) <= bounds_arr[None, :],
-                         axis=1).reshape(shape)
-            if not track:
-                return ok, ok.sum(), ok.sum()
-            seed = jnp.zeros(shape, dtype=bool).reshape(-1)
-            seed = seed.at[seed_flat_idx].set(True).reshape(shape)
-            mask = _bfs_closure(seed, ok, shifts, max_iters)
-            return mask, mask.sum(), ok.sum()
+            ok_flat = jnp.all(values_fn(coords) <= bounds_arr[None, :],
+                              axis=1)
+            ok = ok_flat.reshape(shape)
+            if track:
+                seed = prev_mask.reshape(-1).at[seed_flat_idx].set(True)
+                mask = _bfs_closure(seed.reshape(shape), ok, shifts,
+                                    max_iters)
+            else:
+                mask = ok
+            # Face-closure leaks: axis i leaks when a valid state on the
+            # capacity face has a constraint-satisfying outward neighbor
+            # (reference contract: outward flux must reach a sink, never
+            # be truncated).
+            mask_flat = mask.reshape(-1)
+            leaks = []
+            for i in range(S):
+                grow_rs = [r for r in range(stoich.shape[0])
+                           if stoich[r][i] > 0]
+                if not grow_rs:
+                    leaks.append(jnp.zeros((), bool))
+                    continue
+                on_face = coords[:, i] == (shape[i] - 1)
+                leak = jnp.zeros((), bool)
+                for r in grow_rs:
+                    s_r = jnp.asarray(stoich[r], coords.dtype)
+                    tgt = coords + s_r[None, :]
+                    ok_t = jnp.all(values_fn(tgt) <= bounds_arr[None, :],
+                                   axis=1) & jnp.all(tgt >= 0, axis=1)
+                    leak = leak | jnp.any(mask_flat & on_face & ok_t)
+                leaks.append(leak)
+            return mask, mask.sum(), ok.sum(), jnp.stack(leaks)
 
-        return build_mask
+        jitted = jax.jit(build_mask)
+
+        def call(bounds_arr, seed_flat_idx):
+            return jitted(bounds_arr, seed_flat_idx,
+                          jnp.asarray(self._prev_mask))
+
+        return call
 
     # ------------------------------------------------------- expansion ---
     def set_bounds(self, new_bounds) -> None:
@@ -337,12 +444,17 @@ class BoxStateSpace:
     @property
     def mask_host(self) -> np.ndarray:
         """Host (numpy) copy of the validity mask — assembly-time queries
-        read this instead of round-tripping through the device."""
-        return self._mask_host
+        read this instead of round-tripping through the device.  In
+        device-build mode this is a lazy device_get, paid only by callers
+        that genuinely need host data (initial-vector seeding, final
+        distribution extraction, the shell-sink fallback)."""
+        if self._mask_host_cache is None:
+            self._mask_host_cache = np.asarray(jax.device_get(self._mask))
+        return self._mask_host_cache
 
     def states(self) -> np.ndarray:
         """Enumerate valid states [num_states, S] (host, box order)."""
-        return np.argwhere(self._mask_host).astype(np.int64)
+        return np.argwhere(self.mask_host).astype(np.int64)
 
     def state2index(self, states) -> np.ndarray:
         """Map states to their flat (C-order) box index; -1 for states
@@ -360,7 +472,7 @@ class BoxStateSpace:
             [np.cumprod(shape[::-1])[::-1][1:], [1]])
         inside = ((states >= 0) & (states < shape[None, :])).all(axis=1)
         keys = states @ strides
-        mask_flat = self._mask_host.reshape(-1)
+        mask_flat = self.mask_host.reshape(-1)
         out = np.full(keys.shape, -1, dtype=np.int64)
         out[inside] = np.where(mask_flat[keys[inside]], keys[inside], -1)
         return out
@@ -368,4 +480,4 @@ class BoxStateSpace:
     def extract_valid(self, p_box: jnp.ndarray) -> np.ndarray:
         """Gather p at valid states, in :meth:`states` order (host)."""
         p = np.asarray(jax.device_get(p_box)).reshape(-1)
-        return p[self._mask_host.reshape(-1)]
+        return p[self.mask_host.reshape(-1)]
