@@ -212,6 +212,15 @@ class FspSolverMultiSinks:
         self.krylov_dim_range = (int(m_min), int(m_max))
         return self
 
+    def set_ts_type(self, name: str) -> "FspSolverMultiSinks":
+        """Pluggable TS method for the PETSC backend (reference
+        TsFsp::SetTsType / -ts_type): 'rk' (explicit DP5(4)), 'cn'/
+        'theta'/'trapezoid' (implicit trapezoid + matrix-free GMRES),
+        'bdf'/'beuler' (adaptive implicit BDF)."""
+        self.ts_type = str(name).strip().lower()
+        self._ode_solver = None
+        return self
+
     def set_load_balancing_method(self, ptype) -> "FspSolverMultiSinks":
         self.partitioning = (ptype if isinstance(ptype, PartitioningType)
                              else PartitioningType.from_string(str(ptype)))
@@ -253,6 +262,8 @@ class FspSolverMultiSinks:
             self.log_events = opts.get_bool("fsp_log_events")
         if opts.has("fsp_odes_type"):
             self.set_odes_type(opts.get("fsp_odes_type"))
+        if opts.has("ts_type"):
+            self.set_ts_type(opts.get("ts_type"))
         if opts.has("fsp_backend"):
             self.backend = opts.get("fsp_backend")
         if opts.has("ode_rtol") or opts.has("ode_atol"):
@@ -487,7 +498,7 @@ class FspSolverMultiSinks:
                 else None)
         res = part.partition(self._space.states, self.model.stoichiometry,
                              n_parts, state2index=self._space.state2index,
-                             prev_order=prev)
+                             prev_order=prev, need_boundaries=False)
         self._space.reorder(res.order)
         if self.verbosity:
             print(f"[fsp] re-partitioned {n} states "
@@ -593,9 +604,25 @@ class FspSolverMultiSinks:
                              rtol=self.ode_rtol, atol=self.ode_atol,
                              stop_check=stop_check, dtype=self.dtype)
         if odes == ODESolverType.PETSC:
-            return RKSolver(self._operator.action,
-                            rtol=self.ode_rtol, atol=self.ode_atol,
-                            stop_check=stop_check, dtype=self.dtype)
+            # pluggable TS method (reference TsFsp accepts any -ts_type
+            # and auto-wires the implicit machinery, TsFsp.cpp:227-274)
+            ts = getattr(self, "ts_type", "rk")
+            if ts in ("rk", "rk45", "dp5"):
+                return RKSolver(self._operator.action,
+                                rtol=self.ode_rtol, atol=self.ode_atol,
+                                stop_check=stop_check, dtype=self.dtype)
+            if ts in ("cn", "theta", "trapezoid"):
+                from ..solvers.cn import CNSolver
+                return CNSolver(self._operator.action,
+                                rtol=self.ode_rtol, atol=self.ode_atol,
+                                stop_check=stop_check, dtype=self.dtype)
+            if ts in ("bdf", "beuler"):
+                return BdfSolver(self._operator.action,
+                                 rtol=self.ode_rtol, atol=self.ode_atol,
+                                 stop_check=stop_check, dtype=self.dtype)
+            raise SetupError(
+                f"unknown ts_type {ts!r} (supported: rk, cn/theta/"
+                "trapezoid, bdf/beuler)")
         raise SetupError(f"unsupported ODE solver type {odes}")
 
     def _expand(self, to_expand: np.ndarray, rounds: int = 1):
@@ -892,6 +919,7 @@ class FspSolverMultiSinks:
     SetOdesType = set_odes_type
     SetOdeTolerances = set_ode_tolerances
     SetKrylovDimRange = set_krylov_dim_range
+    SetTsType = set_ts_type
     SetLoadBalancingMethod = set_load_balancing_method
     SetRepartApproach = set_repart_approach
     SetVerbosity = set_verbosity

@@ -189,11 +189,14 @@ class EllOperator:
     def __call__(self, t, y, data=None):
         return self.action(t, y, data)
 
-    def diagonal(self, t=0.0) -> jnp.ndarray:
+    def diagonal(self, t=0.0, data: Optional[EllOpData] = None
+                 ) -> jnp.ndarray:
         """diag(A(t)) = -sum_r c_r(t) a_r(x) over the padded vector."""
+        if data is None:
+            data = self._data
         c_full = self.model.coefficients(t, self.dtype)
         c = jnp.asarray([c_full[r] for r in self.enable_reactions])
-        return -(c @ self.diag_val)
+        return -(c @ data.diag_val)
 
     # ------------------------------------------------------------- misc
     @property

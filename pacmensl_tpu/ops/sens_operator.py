@@ -90,29 +90,71 @@ class SensOperator:
                              enable_reactions=model.dprop_sparsity[j],
                              **op_kwargs) if pmod is not None else None)
 
+    # ----------------------------------------------------- epoch machinery
+    def _sub_ops(self):
+        return [self.base] + [o for o in self.dcxA if o is not None] + \
+            [o for o in self.cxdA if o is not None]
+
+    def data(self):
+        """Per-epoch data of all sub-operators, as one pytree — thread it
+        through jitted solves as an argument so one compiled program
+        serves every expansion epoch at fixed capacity (same design as
+        the transient driver's BoxOpData/EllOpData)."""
+        def d(op):
+            return op.data() if op is not None and hasattr(op, "data") \
+                else None
+        return (d(self.base), tuple(d(o) for o in self.dcxA),
+                tuple(d(o) for o in self.cxdA))
+
+    def refresh_data(self):
+        """Box backend: re-snapshot masks/bounds after a within-capacity
+        bounds change."""
+        for op in self._sub_ops():
+            if hasattr(op, "refresh_data"):
+                op.refresh_data()
+
+    def reassemble(self) -> bool:
+        """ELL backend: re-assemble all sub-operators after the state set
+        changed; True when any padded capacity grew (downstream programs
+        must re-jit).  The ladders are deterministic in the state count,
+        so all sub-operators grow in lockstep."""
+        grew = False
+        for op in self._sub_ops():
+            if hasattr(op, "reassemble"):
+                grew = op.reassemble() or grew
+        return grew
+
+    @property
+    def n_pad(self) -> int:
+        return self.base.n_pad
+
     # ------------------------------------------------------------------
-    def sens_action(self, j: int, t, y: FspVector) -> FspVector:
+    def sens_action(self, j: int, t, y: FspVector,
+                    data=None) -> FspVector:
         """(d_j A)(t) y  (reference SensAction, SensFspMatrix.h:195-209)."""
+        dc = None if data is None else data[1][j]
+        dp = None if data is None else data[2][j]
         out = FspVector(p=jnp.zeros_like(y.p), sinks=jnp.zeros_like(y.sinks))
         if self.dcxA[j] is not None:
-            d = self.dcxA[j].action(t, y)
+            d = self.dcxA[j].action(t, y, dc)
             out = FspVector(p=out.p + d.p, sinks=out.sinks + d.sinks)
         if self.cxdA[j] is not None:
-            d = self.cxdA[j].action(t, y)
+            d = self.cxdA[j].action(t, y, dp)
             out = FspVector(p=out.p + d.p, sinks=out.sinks + d.sinks)
         return out
 
-    def action(self, t, y: SensFspVector) -> SensFspVector:
+    def action(self, t, y: SensFspVector, data=None) -> SensFspVector:
         """Combined forward-sensitivity generator action."""
-        base = self.base.action(t, FspVector(p=y.p, sinks=y.sinks))
+        base_d = None if data is None else data[0]
+        base = self.base.action(t, FspVector(p=y.p, sinks=y.sinks), base_d)
         # A s_j for all j, batched over the parameter axis
         As = jax.vmap(
-            lambda sp, sk: self.base.action(t, FspVector(p=sp, sinks=sk)))(
-            y.s, y.ssinks)
+            lambda sp, sk: self.base.action(
+                t, FspVector(p=sp, sinks=sk), base_d))(y.s, y.ssinks)
         pv = FspVector(p=y.p, sinks=y.sinks)
         gs, gsink = [], []
         for j in range(self.n_par):
-            g = self.sens_action(j, t, pv)
+            g = self.sens_action(j, t, pv, data)
             gs.append(g.p)
             gsink.append(g.sinks)
         g_p = jnp.stack(gs) if gs else jnp.zeros_like(y.s)
@@ -120,8 +162,8 @@ class SensOperator:
         return SensFspVector(p=base.p, sinks=base.sinks,
                              s=As.p + g_p, ssinks=As.sinks + g_k)
 
-    def __call__(self, t, y):
-        return self.action(t, y)
+    def __call__(self, t, y, data=None):
+        return self.action(t, y, data)
 
     # ------------------------------------------------------------------
     def zero_vector(self) -> SensFspVector:

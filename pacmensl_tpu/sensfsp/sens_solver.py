@@ -99,7 +99,11 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
 
     def _expand(self, to_expand: np.ndarray, rounds: int = 1):
         """Expand p and every sensitivity with the same map (reference
-        SensFspSolverMultiSinks.cpp:371-402)."""
+        SensFspSolverMultiSinks.cpp:371-402), with the transient driver's
+        epoch machinery: capacity-laddered in-place reassembly (one XLA
+        program per capacity rung, not per epoch), boundary-seeded
+        incremental BFS (``old_bounds``), and the >20%-growth rebalance
+        trigger (``_maybe_partition``)."""
         new_bounds = self.constraints.expanded_bounds(to_expand)
         for _ in range(rounds - 1):      # escalated growth (thrash guard)
             new_bounds = self.constraints.with_bounds(
@@ -109,36 +113,64 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
                   f"{new_bounds.tolist()}")
         y = self._y
         n_before = self._space.num_states
-        with self.events.timed(EVT_MATGEN):
+        from ..sys.events import EVT_PARTITION
+        with self.events.timed(EVT_PARTITION):
             if self._backend_used == "box":
                 old_shape = self._space.shape
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
                 self._escalate_if_stuck(n_before, to_expand)
-                self._build_operator()
-                p_new = self._space.embed_old(y.p, old_shape)
-                s_new = jnp.stack([self._space.embed_old(y.s[j], old_shape)
-                                   for j in range(y.s.shape[0])])
+                capacity_grew = tuple(self._space.shape) != tuple(old_shape)
             else:
                 states_old = self._space.copy_states()
+                bounds_old = self.constraints.bounds
                 self._space.set_bounds(new_bounds)
                 self.constraints = self._space.constraints
-                self._space.expand()
+                self._space.expand(old_bounds=bounds_old)
                 self._escalate_if_stuck(n_before, to_expand)
-                self._build_operator()
+                self._maybe_partition()
+        with self.events.timed(EVT_MATGEN):
+            if self._backend_used == "box":
+                if capacity_grew:
+                    self._build_operator()
+                else:
+                    self._operator.refresh_data()
+            else:
+                capacity_grew = self._operator.reassemble()
+                if capacity_grew:
+                    self._ode_solver = None
+        with self.events.timed(EVT_SCATTER):
+            if self._backend_used == "box":
+                if capacity_grew:
+                    p_new = self._space.embed_old(y.p, old_shape)
+                    s_new = jnp.stack(
+                        [self._space.embed_old(y.s[j], old_shape)
+                         for j in range(y.s.shape[0])])
+                    self._y = SensFspVector(p=p_new, sinks=y.sinks,
+                                            s=s_new, ssinks=y.ssinks)
+                # within capacity: newly valid states already hold zeros
+                # under the old mask — no scatter at all
+            else:
+                # device-side ExpandVec for p and every dp with ONE index
+                # map (reference :397-402); identity-prefix fast path when
+                # insertion order was preserved (no GRAPH reorder)
                 idx = self._space.state2index(states_old)
                 n_old = states_old.shape[0]
                 n_pad = self._operator.base.n_pad
-                p_h = np.zeros(n_pad)
-                p_h[idx] = np.asarray(jax.device_get(y.p))[:n_old]
-                s_old = np.asarray(jax.device_get(y.s))[:, :n_old]
-                s_h = np.zeros((y.s.shape[0], n_pad))
-                s_h[:, idx] = s_old
-                p_new = jnp.asarray(p_h, self.dtype)
-                s_new = jnp.asarray(s_h, self.dtype)
-        with self.events.timed(EVT_SCATTER):
-            self._y = SensFspVector(p=p_new, sinks=y.sinks,
-                                    s=s_new, ssinks=y.ssinks)
+                if (idx == np.arange(n_old)).all():
+                    pad = n_pad - int(y.p.shape[0])
+                    p_new = jnp.pad(y.p, (0, pad)) if pad > 0 else y.p
+                    s_new = (jnp.pad(y.s, ((0, 0), (0, pad)))
+                             if pad > 0 else y.s)
+                else:
+                    idx_j = jnp.asarray(idx)
+                    p_new = jnp.zeros((n_pad,), self.dtype).at[
+                        idx_j].set(y.p[:n_old])
+                    s_new = jnp.zeros((y.s.shape[0], n_pad),
+                                      self.dtype).at[:, idx_j].set(
+                        y.s[:, :n_old])
+                self._y = SensFspVector(p=p_new, sinks=y.sinks,
+                                        s=s_new, ssinks=y.ssinks)
             if self.mesh is not None:
                 self._y = self._place(self._y)
         if self.verbosity:

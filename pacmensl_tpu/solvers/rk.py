@@ -47,6 +47,8 @@ _B4 = np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
 class RKSolver:
     """Dormand-Prince 5(4) with PI controller over FspVectors."""
 
+    _err_exp = -0.2          # -1/(embedded order + 1) = -1/5
+
     def __init__(self,
                  matvec: MatVec,
                  *,
@@ -162,10 +164,12 @@ class RKSolver:
             enorm = self._err_norm(err, y, y5)
             finite = vo.isfinite(y5) & jnp.isfinite(enorm)
             accept = (enorm <= 1.0) & finite
-            # PI-ish controller
+            # PI-ish controller (exponent = -1/(order+1) of the embedded
+            # error estimate; subclasses with other orders override)
             factor = jnp.where(
                 enorm > 0,
-                jnp.clip(self.safety * enorm ** (-0.2), 0.2, 10.0), 10.0)
+                jnp.clip(self.safety * enorm ** self._err_exp, 0.2, 10.0),
+                10.0)
             h_new = h * factor
 
             status = jnp.where(finite, status, STATUS_FAILURE)

@@ -35,6 +35,7 @@ def _as_dict(d):
     return {tuple(x): float(p) for x, p in zip(d.states, d.p)}
 
 
+@pytest.mark.slow
 def test_custom_constraint_box_matches_ell():
     """Product-constraint repressilator through the box backend must give
     the ELL backend's distribution (same states, TV at solver-tolerance
@@ -49,6 +50,7 @@ def test_custom_constraint_box_matches_ell():
     assert tv < 1e-5, tv
 
 
+@pytest.mark.slow
 def test_box_migrates_to_ell_on_budget(monkeypatch):
     """A vector-memory budget too small for the growing box must trigger
     the mid-solve migration — and the final answer must match a pure-box
@@ -66,5 +68,5 @@ def test_box_migrates_to_ell_on_budget(monkeypatch):
 def test_auto_routing_on_cpu_prefers_ell_for_custom_fn():
     """On CPU (no fused kernel) auto keeps custom constraints on the
     compressed backend."""
-    _, s = _solve("auto", t_final=0.2)
+    _, s = _solve("auto", t_final=0.05)
     assert s._backend_used == "ell"

@@ -95,6 +95,7 @@ def test_hog1p_sets_agree_across_backends():
     assert len(set_a) == 78      # regression pin (was 30 when truncated)
 
 
+@pytest.mark.slow
 def test_hog1p_solve_preserves_mass():
     """End-to-end: retained mass must satisfy the FSP certificate, and
     retained + (unique) sunk mass accounts for 1 (sinks may overcount)."""

@@ -29,7 +29,8 @@ def check_poisson(d, t):
 
 
 @pytest.mark.parametrize("backend,ode", [
-    ("box", "krylov"), ("ell", "petsc"), ("box", "cvode")])
+    ("box", "krylov"), ("ell", "petsc"),
+    pytest.param("box", "cvode", marks=pytest.mark.slow)])
 def test_poisson_oracle(backend, ode):
     s = make_poisson_solver(backend, ode)
     t_final, fsp_tol = 10.0, 1.0e-6
@@ -39,6 +40,7 @@ def test_poisson_oracle(backend, ode):
     assert d.bounds[0] > 20
 
 
+@pytest.mark.slow
 def test_solve_tspan():
     s = make_poisson_solver("box", "krylov")
     tspan = [2.0, 5.0, 10.0]
@@ -83,6 +85,7 @@ def test_toggle_solve_with_custom_constraints():
     assert d.mean(0) > 0.1     # some mRNA produced by t=100
 
 
+@pytest.mark.slow
 def test_restart_from_distribution():
     """SetInitialDistribution(DiscreteDistribution) restart path."""
     s = make_poisson_solver("box", "krylov")

@@ -14,6 +14,8 @@ import numpy as np
 import pytest
 
 import pacmensl_tpu as pm
+
+pytestmark = pytest.mark.slow
 from pacmensl_tpu.solvers.base import ODESolverType
 
 

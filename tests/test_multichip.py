@@ -45,6 +45,7 @@ def test_sharded_matvec_matches_single():
                                rtol=1e-12, atol=1e-15)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["box", "ell"])
 def test_sharded_fsp_solve_matches_single(backend):
     """Full FSP solve with expansion on the 8-device mesh equals the

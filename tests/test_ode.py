@@ -13,6 +13,7 @@ from pacmensl_tpu.ops.ell_operator import EllOperator
 from pacmensl_tpu.ops.vecops import FspVector
 from pacmensl_tpu.statespace.state_set import StateSet
 from pacmensl_tpu.statespace.constraints import ConstraintSet
+from pacmensl_tpu.sys.errors import SetupError
 from pacmensl_tpu.solvers.krylov import KrylovSolver
 from pacmensl_tpu.solvers.rk import RKSolver
 from pacmensl_tpu.solvers.bdf import BdfSolver
@@ -107,3 +108,33 @@ def test_fsp_stop_condition(solver_cls):
     # (Krylov interpolates back; RK re-steps; BDF reverts)
     assert float(jnp.max(res.y.sinks)) <= fsp_tol * float(res.t) / t_final \
         + 1e-14
+
+
+@pytest.mark.parametrize("ts_type", ["cn", "bdf"])
+def test_ts_type_pluggable(ts_type):
+    """TsFsp pluggability parity (reference accepts any -ts_type and
+    auto-wires implicit machinery, TsFsp.cpp:227-274): the PETSC backend
+    must run implicit methods too.  Poisson oracle at loose tolerance."""
+    from scipy.stats import poisson as poisson_law
+    b = pm.models.poisson(2.0)
+    s = pm.FspSolverMultiSinks(backend="ell", odes_type="petsc")
+    s.set_ts_type(ts_type)
+    s.set_model(b.model)
+    s.set_initial_bounds(b.bounds)
+    s.set_expansion_factors([0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    s.set_ode_tolerances(1e-6, 1e-12)
+    d = s.solve(4.0, 1e-4)
+    pdf = poisson_law.pmf(d.states[:, 0], 2.0 * 4.0)
+    assert np.abs(d.p - pdf).sum() <= 1e-4
+
+
+def test_ts_type_unknown_rejected():
+    s = pm.FspSolverMultiSinks(odes_type="petsc")
+    s.set_ts_type("weird")
+    b = pm.models.poisson(2.0)
+    s.set_model(b.model)
+    s.set_initial_bounds(b.bounds)
+    s.set_initial_distribution(b.x0, b.p0)
+    with pytest.raises(SetupError):
+        s.solve(1.0, 1e-4)

@@ -222,6 +222,7 @@ def test_pallas_padded_layout_tiled_grid():
         pb.VMEM_BUDGET, pb.TILE_ROWS = old_budget, old_tile
 
 
+@pytest.mark.slow
 def test_padded_layout_full_solve_matches_reference_path():
     """End-to-end FSP solve (expand loop included) through the padded-layout
     fast path (pallas=True, interpret on CPU) vs the default XLA box path.

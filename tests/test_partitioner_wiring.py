@@ -65,6 +65,7 @@ def _ell_solver(mesh, ptype="block"):
     return s
 
 
+@pytest.mark.slow
 def test_rebalance_trigger_threshold():
     """The lb_threshold analogue: no repartition below 20% growth, a
     repartition above it."""
@@ -93,6 +94,7 @@ def test_rebalance_trigger_threshold():
     np.testing.assert_array_equal(s2._space.states, states0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("approach", ["from_scratch", "repart"])
 def test_graph_partitioned_solve_matches_single(approach):
     """A sharded GRAPH-partitioned solve (with expansion epochs crossing
@@ -111,3 +113,57 @@ def test_graph_partitioned_solve_matches_single(approach):
     for k in k1:
         np.testing.assert_allclose(k8[k], k1[k], rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(d8.sinks, d1.sinks, rtol=1e-10, atol=1e-14)
+
+
+def test_hypergraph_is_distinct_and_measured():
+    """HYPERGRAPH is a genuinely different strategy (spectral ordering,
+    net-size weights) — not a GRAPH alias.  Compare both on the
+    reference's own objectives (edge cut = ParMETIS, connectivity cut =
+    PHG, StatePartitionerHyperGraph.cpp:90-104): each strategy must be
+    competitive (within 1.5x) of the other on ITS objective, and the
+    orderings must differ."""
+    b, ss = _expanded_toggle_set()
+    st = ss.states
+
+    res_g = StatePartitioner(PartitioningType.GRAPH).partition(
+        st, b.model.stoichiometry, 8, state2index=ss.state2index)
+    res_h = StatePartitioner(PartitioningType.HYPERGRAPH).partition(
+        st, b.model.stoichiometry, 8, state2index=ss.state2index)
+    assert not np.array_equal(res_g.order, res_h.order), \
+        "hypergraph must not be a graph alias"
+
+    cuts_g = StatePartitioner.partition_cuts(
+        st, b.model.stoichiometry, ss.state2index, res_g.order,
+        res_g.boundaries)
+    cuts_h = StatePartitioner.partition_cuts(
+        st, b.model.stoichiometry, ss.state2index, res_h.order,
+        res_h.boundaries)
+    # measured objective values (documented comparison, reference PHG vs
+    # ParMETIS roles): each within 1.5x of the other's best
+    assert cuts_h["connectivity_cut"] <= 1.5 * cuts_g["connectivity_cut"]
+    assert cuts_g["edge_cut"] <= 1.5 * cuts_h["edge_cut"]
+    # and both crush a locality-free (random) ordering on their objective
+    # (insertion order is BFS order, which already has locality — it is
+    # not a fair 'no ordering' baseline)
+    n = st.shape[0]
+    rng = np.random.default_rng(0)
+    cuts_r = StatePartitioner.partition_cuts(
+        st, b.model.stoichiometry, ss.state2index, rng.permutation(n),
+        np.linspace(0, n, 9).astype(int))
+    assert cuts_g["edge_cut"] < 0.5 * cuts_r["edge_cut"]
+    assert cuts_h["connectivity_cut"] < 0.5 * cuts_r["connectivity_cut"]
+
+
+@pytest.mark.slow
+def test_hypergraph_partitioned_solve_matches_single():
+    """A sharded HYPERGRAPH-partitioned solve equals the single-device
+    solve (same contract as the GRAPH variant)."""
+    d1 = _ell_solver(None).solve(0.4, 1e-4)
+    s8 = _ell_solver(make_mesh(8), "hyper_graph")
+    d8 = s8.solve(0.4, 1e-4)
+    assert d1.num_states == d8.num_states
+    k1 = {tuple(x): p for x, p in zip(d1.states, d1.p)}
+    k8 = {tuple(x): p for x, p in zip(d8.states, d8.p)}
+    assert k1.keys() == k8.keys()
+    for k in k1:
+        np.testing.assert_allclose(k8[k], k1[k], rtol=1e-10, atol=1e-14)

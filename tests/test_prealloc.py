@@ -53,6 +53,7 @@ def test_budget_too_small_raises():
                       prealloc_budget=1.0e3)
 
 
+@pytest.mark.slow
 def test_prealloc_solve_matches_default(monkeypatch):
     monkeypatch.setenv("PACMENSL_BOX_MEM_BUDGET", "1e8")
     b = pm.models.repressilator()

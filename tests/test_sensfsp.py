@@ -50,7 +50,8 @@ def test_sens_action_matches_finite_differences():
                                    rtol=1e-6, atol=1e-9)
 
 
-@pytest.mark.parametrize("ode", ["cvode", "krylov"])
+@pytest.mark.parametrize("ode", [
+    pytest.param("cvode", marks=pytest.mark.slow), "krylov"])
 def test_sens_poisson_analytic(ode):
     """Reference test_sensfsp_solver.cpp Poisson oracle: dp/dlambda of
     Poisson(lambda*t) is t*(p_{n-1} - p_n)."""
@@ -75,6 +76,7 @@ def test_sens_poisson_analytic(ode):
     assert np.abs(d.dp[0] - sens_exact).sum() <= 1.0e-6
 
 
+@pytest.mark.slow
 def test_sens_telegraph_conservation():
     """Telegraph model: probability mass >= 1 - tol and each sensitivity
     sums to ~0 (reference telegraph_sens_solve_with_cvode)."""
@@ -91,6 +93,7 @@ def test_sens_telegraph_conservation():
         assert abs(d.dp[j].sum()) <= 1e-6
 
 
+@pytest.mark.slow
 def test_fim_and_sens_marginal():
     b = pm.models.poisson_sens(2.0)
     s = SensFspSolverMultiSinks(backend="box", odes_type="cvode")
