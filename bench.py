@@ -122,17 +122,18 @@ def main():
     # tunnel would measure RPC transfer, not HBM streaming.  Two-point
     # K-slope cancels the fixed dispatch latency like the SpMV timing.
     #
-    # The probe is a two-buffer PING-PONG (b_{k+1} = a_k * c; a_{k+1} =
-    # b_k): the multiply's input alternates buffers every iteration, so
-    # each loop step must genuinely read n elements from one HBM buffer
-    # and write n to the other — 2*n*itemsize of traffic per iteration
-    # that XLA can neither strength-reduce (a_k * c^k) nor keep cache/
-    # register-resident.  (The previous single-buffer `a * c` chain was
-    # collapsed by XLA and reported ~8.8 TB/s on an ~819 GB/s chip.)
+    # The probe is a NONLINEAR two-buffer recurrence (a' = b; b' = a +
+    # eps * b * b): each iteration must genuinely read both n-element HBM
+    # buffers and write one — 3*n*itemsize of traffic per step.  Linear
+    # probes do not survive XLA: a single-buffer `a * c` chain collapsed
+    # to ~8.8 TB/s, and even a linear ping-pong was strength-reduced
+    # (a_k * c^(k/2)) once the static-trip-count loop unrolled.  The
+    # squaring makes the recurrence non-associative, so no closed form
+    # exists to fold.
     def stream(k, v):
         def body(i, ab):
             a, b = ab
-            return (b, a * dtype(1.0000001))
+            return (b, a + b * b * dtype(1e-12))
         a, b = lax.fori_loop(0, k, body, (v, v + dtype(1.0)))
         return a.sum() + b.sum()
     stream_j = jax.jit(stream, static_argnums=0)
@@ -143,7 +144,7 @@ def main():
     t1 = time.perf_counter()
     stream_j(k_hi, x).block_until_ready()
     t2 = time.perf_counter()
-    bw = 2.0 * n_elems * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
+    bw = 3.0 * n_elems * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
         max((t2 - t1) - (t1 - t0), 1e-9)
     # sanity: a v5e datasheet reads ~819 GB/s HBM; a measurement far above
     # means the probe collapsed again and the roofline below is noise

@@ -236,21 +236,31 @@ class BoxOperator:
         backend."""
         if getattr(self, "_sink_active_cache", None) is not None:
             return self._sink_active_cache
-        from ..sys.environment import local_cpu_device
-        cpu = local_cpu_device()
 
-        def act(r):
+        @jax.jit
+        def act_all():
+            # ONE compiled program for every reaction: per-reaction jits
+            # would each pay the (highly variable) remote-compile latency
             coords = coord_grid(self.shape)
-            s = jnp.asarray(self.model.stoichiometry[r], coords.dtype)
-            return jnp.any(self._values_fn(coords + s[None, :])
-                           > self._values_fn(coords), axis=0)
-
-        act_jit = jax.jit(act, static_argnums=0)
-        rows = []
-        with jax.default_device(cpu):
+            base = self._values_fn(coords)
+            outs = []
             for r in self.enable_reactions:
-                rows.append(np.asarray(jax.device_get(act_jit(r)), bool))
-        self._sink_active_cache = np.stack(rows, axis=0)
+                s = jnp.asarray(self.model.stoichiometry[r], coords.dtype)
+                outs.append(jnp.any(self._values_fn(coords + s[None, :])
+                                    > base, axis=0))
+            return jnp.stack(outs, axis=0)
+
+        if getattr(self.space, "build_on_device", False):
+            # full-capacity sweep on the accelerator: the host CPU sweep
+            # over a preallocated (tens-of-millions-element) box cost tens
+            # of seconds of solve setup
+            rows = np.asarray(jax.device_get(act_all()), bool)
+        else:
+            from ..sys.environment import local_cpu_device
+            cpu = local_cpu_device()
+            with jax.default_device(cpu):
+                rows = np.asarray(jax.device_get(act_all()), bool)
+        self._sink_active_cache = rows
         return self._sink_active_cache
 
     # ------------------------------------------------------------- data

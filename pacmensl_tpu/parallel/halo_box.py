@@ -86,6 +86,35 @@ class ShardedPallasBoxAction:
             sink_active=sink_active, interpret=interpret,
             global_extent0=shape[0])
         self.synth_mask = self.kernel.synth_mask
+        # Halo/compute overlap (SURVEY M3): the interior of the local slab
+        # needs no remote data, so splitting the action into an interior
+        # kernel plus two boundary-strip kernels removes the ppermute from
+        # the interior's dependency chain — XLA's latency-hiding scheduler
+        # then runs the ICI transfer concurrently with the interior
+        # compute.  Needs L0 >= 2*w0 (a boundary strip on each side).
+        import os
+        self.overlap = (os.environ.get("PACMENSL_HALO_OVERLAP", "1") != "0"
+                        and self.L0 >= 2 * self.w0)
+        if self.overlap:
+            try:
+                self.kernel_int = PallasBoxKernel(
+                    propensity, stoichiometry,
+                    (self.L0,) + shape[1:], enable_reactions,
+                    dtype=dtype, components=components,
+                    synth_mask=synth_mask, sink_active=sink_active,
+                    interpret=interpret, global_extent0=shape[0])
+                self.kernel_strip = PallasBoxKernel(
+                    propensity, stoichiometry,
+                    (3 * self.w0,) + shape[1:], enable_reactions,
+                    dtype=dtype, components=components,
+                    synth_mask=synth_mask, sink_active=sink_active,
+                    interpret=interpret, global_extent0=shape[0])
+                # all three variants must agree on sink capability
+                self.overlap = (self.kernel_int.has_sinks
+                                == self.kernel.has_sinks
+                                == self.kernel_strip.has_sinks)
+            except Exception:
+                self.overlap = False
         self._build(D, dtype)
 
     def _build(self, D: int, dtype):
@@ -104,7 +133,7 @@ class ShardedPallasBoxAction:
                               [(i + 1, i) for i in range(D - 1)])
             return jnp.concatenate([up, a, dn], axis=0)
 
-        def local_fn(c, bounds, p_loc, mask_loc):
+        def local_fn_monolithic(c, bounds, p_loc, mask_loc):
             idx = lax.axis_index(STATE_AXIS)
             origin0 = idx * L0 - w0
             p_ext = halo_extend(p_loc)
@@ -116,6 +145,55 @@ class ShardedPallasBoxAction:
                 ks = lax.psum(ks, STATE_AXIS)
             return dp, (ks if ks is not None
                         else jnp.zeros((0,), p_loc.dtype))
+
+        def local_fn_overlap(c, bounds, p_loc, mask_loc):
+            """Interior/boundary split: the ppermute results feed only the
+            two w0-plane boundary strips, so the interior kernel runs
+            concurrently with the ICI transfer (XLA latency hiding)."""
+            idx = lax.axis_index(STATE_AXIS)
+            base = idx * L0
+            # start the halo exchange first — nothing below depends on it
+            # until the strips
+            up = lax.ppermute(p_loc[L0 - w0:], STATE_AXIS,
+                              [(i, i + 1) for i in range(D - 1)])
+            dn = lax.ppermute(p_loc[:w0], STATE_AXIS,
+                              [(i + 1, i) for i in range(D - 1)])
+            if not synth:
+                up_m = lax.ppermute(mask_loc[L0 - w0:], STATE_AXIS,
+                                    [(i, i + 1) for i in range(D - 1)])
+                dn_m = lax.ppermute(mask_loc[:w0], STATE_AXIS,
+                                    [(i + 1, i) for i in range(D - 1)])
+            # interior: output rows [w0, L0-w0) use only local rows
+            dp_int, ks_int = self.kernel_int._call(
+                c, bounds, p_loc, p_loc if synth else mask_loc,
+                base, base + w0, base + L0 - w0)
+            # top strip: window covers global [base-w0, base+2w0), owns
+            # output rows [base, base+w0)
+            ptop = jnp.concatenate([up, p_loc[:2 * w0]], axis=0)
+            mtop = ptop if synth else jnp.concatenate(
+                [up_m, mask_loc[:2 * w0]], axis=0)
+            dp_top, ks_top = self.kernel_strip._call(
+                c, bounds, ptop, mtop, base - w0, base, base + w0)
+            # bottom strip: window covers [base+L0-2w0, base+L0+w0), owns
+            # [base+L0-w0, base+L0)
+            pbot = jnp.concatenate([p_loc[L0 - 2 * w0:], dn], axis=0)
+            mbot = pbot if synth else jnp.concatenate(
+                [mask_loc[L0 - 2 * w0:], dn_m], axis=0)
+            dp_bot, ks_bot = self.kernel_strip._call(
+                c, bounds, pbot, mbot, base + L0 - 2 * w0,
+                base + L0 - w0, base + L0)
+            dp = jnp.concatenate(
+                [dp_top[w0:2 * w0], dp_int[w0:L0 - w0],
+                 dp_bot[w0:2 * w0]], axis=0)
+            if ks_int is not None:
+                ks = lax.psum(ks_int + ks_top + ks_bot, STATE_AXIS)
+            else:
+                ks = None
+            return dp, (ks if ks is not None
+                        else jnp.zeros((0,), p_loc.dtype))
+
+        local_fn = (local_fn_overlap if self.overlap
+                    else local_fn_monolithic)
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh
         # annotation, which the shard_map VMA checker (jax >= 0.6) rejects

@@ -24,6 +24,7 @@ from __future__ import annotations
 import enum
 from typing import Any, Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.vecops import FspVector
@@ -39,6 +40,40 @@ MatVec = Callable[[Any, FspVector], FspVector]
 #: stop-check data (e.g. already-forfeited sink mass) threaded as a jit
 #: *argument* so epoch changes never recompile.
 StopCheck = Callable[..., jnp.ndarray]
+
+
+def layout2d_adapter(y0):
+    """2-D tiling adaptation for TPU integrator state (see KrylovSolver).
+
+    XLA tiles 1-D f32 arrays T(1024) but the rows of a stacked [m, n]
+    basis/history buffer T(8,128); appending a flat vector into such a
+    buffer inside a loop inserts a LAYOUT-CONVERSION COPY of the whole
+    vector per append (measured 4-6 ms at n = 31.6M — 2-3x a matvec).
+    Viewing flat vectors as [n/128, 128] makes both sides T(8,128) and
+    the appends run in place (<1 ms).  The reshape pairs wrapped around
+    the operator's matvec cancel in XLA's algebraic simplifier.
+
+    Returns ``(y0_2d, to2d, restore)``; leaves that are not flat
+    128-multiples (box-shaped arrays, small sink vectors) pass through
+    untouched.
+    """
+    leaves0, treedef = jax.tree_util.tree_flatten(y0)
+    orig_shapes = [l.shape for l in leaves0]
+
+    def _to2d(leaf):
+        if leaf.ndim == 1 and leaf.size >= 1024 and leaf.size % 128 == 0:
+            return leaf.reshape(-1, 128)
+        return leaf
+
+    def to2d(y):
+        return jax.tree_util.tree_map(_to2d, y)
+
+    def restore(y):
+        ls = jax.tree_util.tree_leaves(y)
+        return jax.tree_util.tree_unflatten(
+            treedef, [a.reshape(s) for a, s in zip(ls, orig_shapes)])
+
+    return to2d(y0), to2d, restore
 
 
 def wrap_stop_check(fn: Optional[StopCheck]) -> Optional[StopCheck]:

@@ -41,6 +41,7 @@ from ..ops.expm import expm   # TPU-safe f64 expm (no LU)
 from ..config import DEFAULT_DTYPE
 from ..ops import vecops as vo
 from .base import (MatVec, StopCheck, SolveResult, SolveStats,
+                   layout2d_adapter,
                    STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE,
                    wrap_stop_check, make_trace, trace_record)
 
@@ -154,36 +155,10 @@ class KrylovSolver:
 
         n_c = y0.sinks.shape[0]
 
-        # ---- 2-D tiling adaptation (TPU layout) --------------------------
-        # XLA tiles 1-D f32 arrays as T(1024) but the rows of a stacked
-        # [M1, n] basis buffer as T(8,128); appending a flat vector into
-        # the basis then inserts a LAYOUT-CONVERSION COPY of the whole
-        # vector on every Arnoldi step (measured 4-6 ms per append at
-        # n=31.6M — 2-3x the matvec itself).  Viewing flat vectors as
-        # [n/128, 128] makes both sides T(8,128): the same append measures
-        # <1 ms, in place.  The reshape pairs around the matvec cancel in
-        # XLA's algebraic simplifier, so the operator still sees its
-        # native layout at zero cost.  Box-shaped (>=2-D) leaves and the
-        # small sink leaf pass through untouched.
-        leaves0, treedef = jax.tree_util.tree_flatten(y0)
-        orig_shapes = [l.shape for l in leaves0]
-
-        def _to2d_leaf(leaf):
-            if leaf.ndim == 1 and leaf.size >= 1024 and leaf.size % 128 == 0:
-                return leaf.reshape(-1, 128)
-            return leaf
-
-        def to2d(y):
-            return jax.tree_util.tree_map(_to2d_leaf, y)
-
-        def restore(y):
-            ls = jax.tree_util.tree_leaves(y)
-            return jax.tree_util.tree_unflatten(
-                treedef, [a.reshape(s) for a, s in zip(ls, orig_shapes)])
-
+        # ---- 2-D tiling adaptation (TPU layout; see layout2d_adapter)
+        y0, to2d, restore = layout2d_adapter(y0)
         mv_native = mv
         mv = lambda t, yy: to2d(mv_native(t, restore(yy)))  # noqa: E731
-        y0 = to2d(y0)
 
         def fsp_excess(t, y):
             if self.stop_check is None:

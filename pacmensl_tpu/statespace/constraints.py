@@ -36,7 +36,15 @@ class ConstraintSet:
                  fn: Optional[Callable],
                  bounds,
                  expansion_factors=None,
-                 num_species: Optional[int] = None):
+                 num_species: Optional[int] = None,
+                 box_cache: Optional[dict] = None):
+        #: memo for derive_box_bounds, SHARED through with_bounds copies:
+        #: an adaptive solve re-derives the bounding box of every epoch's
+        #: bounds several times (backend routing, migration check, space
+        #: build + face-closure retries) and each derivation costs ~0.4 s
+        #: of host corner-probe bisection — measured at ~40 s of a 140 s
+        #: flagship solve before this cache.
+        self._box_cache = box_cache if box_cache is not None else {}
         self.fn = fn
         # Per-constraint component callables (each (states[n,S]) -> [n]).
         # Used by the fused Pallas kernel to evaluate constraints one at a
@@ -160,7 +168,7 @@ class ConstraintSet:
 
     def with_bounds(self, bounds) -> "ConstraintSet":
         return ConstraintSet(self.fn, bounds, self.expansion_factors,
-                             self.num_species)
+                             self.num_species, box_cache=self._box_cache)
 
     def derive_box_bounds(self, num_species: int, init_states,
                           cap: int = 1 << 22) -> np.ndarray:
@@ -181,6 +189,10 @@ class ConstraintSet:
         growing its key space dynamically, and the box backend verifies
         face-closure after mask construction.
         """
+        init_arr = np.atleast_2d(np.asarray(init_states, dtype=np.int64))
+        key = (num_species, self.bounds.tobytes(), init_arr.tobytes(), cap)
+        if key in self._box_cache:
+            return self._box_cache[key].copy()
         if self.fn is None:
             box = self.bounds.copy()
         else:
@@ -208,5 +220,6 @@ class ConstraintSet:
                     box[i] = lo
                 if (box == prev).all():
                     break
-        init_states = np.atleast_2d(np.asarray(init_states, dtype=np.int64))
-        return np.maximum(box, init_states.max(axis=0))
+        out = np.maximum(box, init_arr.max(axis=0))
+        self._box_cache[key] = out.copy()
+        return out

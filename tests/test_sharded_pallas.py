@@ -100,3 +100,45 @@ def test_sharded_comm_is_surface_not_volume():
                       mesh=mesh)
     comm = op8._pallas.comm_values_per_matvec()
     assert comm < int(np.prod(space.shape))   # strictly sub-volume
+
+
+def test_overlap_split_matches_monolithic(monkeypatch):
+    """Halo/compute overlap (SURVEY M3): the interior+boundary-strip split
+    must reproduce the monolithic ppermute->kernel path exactly — the
+    structural guarantee that moving the ICI exchange off the interior's
+    critical path changes nothing numerically."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    import pacmensl_tpu as pm
+    from pacmensl_tpu.parallel.mesh import make_mesh
+    from pacmensl_tpu.parallel.halo_box import ShardedPallasBoxAction
+    from pacmensl_tpu.statespace.box_space import BoxStateSpace
+    from pacmensl_tpu.statespace.constraints import ConstraintSet
+
+    b = pm.models.repressilator()
+    cs = ConstraintSet(b.constraint, np.array([31, 7, 7, 99, 21, 99]),
+                       b.expansion_factors)
+    sp = BoxStateSpace(b.model.stoichiometry, cs, b.x0, pad_quanta=[8, 1, 1])
+    mesh = make_mesh(8)
+    c = jnp.ones(6, jnp.float64)
+    bounds = jnp.asarray(cs.bounds)
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.random(sp.shape)) * sp.mask.astype(jnp.float64)
+    mask_f = sp.mask.astype(jnp.float64)
+
+    outs = {}
+    for ov in ("0", "1"):
+        monkeypatch.setenv("PACMENSL_HALO_OVERLAP", ov)
+        act = ShardedPallasBoxAction(
+            b.model.propensity, b.model.stoichiometry, sp.shape, range(6),
+            mesh, dtype=jnp.float64, components=b.constraint.components,
+            synth_mask=bool(sp.mask_is_constraint_only))
+        assert act.overlap == (ov == "1")
+        outs[ov] = act(c, bounds, p, mask_f)
+    np.testing.assert_allclose(np.asarray(outs["1"][0]),
+                               np.asarray(outs["0"][0]),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(outs["1"][1]),
+                               np.asarray(outs["0"][1]),
+                               rtol=1e-12, atol=1e-13)
