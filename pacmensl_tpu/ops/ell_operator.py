@@ -50,11 +50,28 @@ def _capacity_ladder(n: int, quantum: int) -> int:
 class EllOpData(NamedTuple):
     """Per-epoch operator arrays (a jax pytree; jit *argument*, never a
     closed-over constant — same epoch-stable-compilation design as
-    :class:`~.box_operator.BoxOpData`)."""
+    :class:`~.box_operator.BoxOpData`).
+
+    The ``offsets``/``bucket_delta``/``rem_*`` arrays drive the
+    **bucket-shift gather** (see :meth:`EllOperator.action`): XLA's
+    element gather on TPU runs ~2 orders of magnitude below HBM speed,
+    but after a locality ordering most rows' gather offset
+    ``src_idx[i] - i`` takes one of a handful of values — those rows are
+    served by dynamic ``jnp.roll`` (two dynamic-slice copies at HBM
+    bandwidth), and only the residue uses real gather/scatter on a
+    compacted list.  All bucket deltas are runtime data, so one compiled
+    program serves every epoch at fixed capacity.
+    """
     src_idx: jnp.ndarray    # [R, n_pad] int32 gather source per reaction
     off_val: jnp.ndarray    # [R, n_pad] off-diagonal a_r(x - s_r)
     diag_val: jnp.ndarray   # [R, n_pad] outflow a_r(x)
     sink_bits: jnp.ndarray  # [R, n_pad] uint32 packed violated-constraints
+    offsets: jnp.ndarray      # [R, n_pad] int32 src_idx - row (0 on pad)
+    bucket_delta: jnp.ndarray  # [R, K] int32 top-K offsets per reaction
+    rem_row: jnp.ndarray      # [M_pad] int32 destination rows (residue)
+    rem_src: jnp.ndarray      # [M_pad] int32 gather sources
+    rem_val: jnp.ndarray      # [M_pad] a_r(x - s_r) * c-index weight, 0 pad
+    rem_rid: jnp.ndarray      # [M_pad] int32 reaction index
 
 
 class EllOperator:
@@ -156,13 +173,88 @@ class EllOperator:
         self.diag_val = jnp.asarray(diag_val, self.dtype)
         self.sink_bits = jnp.asarray(sink_bits)
         self._nnz = int((off_val != 0).sum() + n)
+        (offsets, bucket_delta, rem_row, rem_src, rem_val, rem_rid) = \
+            self._build_buckets(src_idx, off_val, n)
         self._data = EllOpData(src_idx=self.src_idx, off_val=self.off_val,
                                diag_val=self.diag_val,
-                               sink_bits=self.sink_bits)
+                               sink_bits=self.sink_bits,
+                               offsets=jnp.asarray(offsets),
+                               bucket_delta=jnp.asarray(bucket_delta),
+                               rem_row=jnp.asarray(rem_row),
+                               rem_src=jnp.asarray(rem_src),
+                               rem_val=jnp.asarray(rem_val, self.dtype),
+                               rem_rid=jnp.asarray(rem_rid))
+
+    #: offsets per reaction served by dynamic rolls; the residue gathers
+    K_BUCKETS = int(__import__("os").environ.get("PACMENSL_ELL_BUCKETS",
+                                                 "8"))
+
+    def _build_buckets(self, src_idx, off_val, n):
+        """Top-K gather-offset buckets per reaction + compacted residue.
+
+        Host-side numpy over the assembly arrays (one bincount per
+        reaction); the residue capacity is laddered so expansion epochs
+        keep stable shapes."""
+        R, n_pad = src_idx.shape
+        K = self.K_BUCKETS
+        rows = np.arange(n_pad, dtype=np.int64)
+        offsets = np.zeros((R, n_pad), np.int32)
+        bucket_delta = np.zeros((R, K), np.int32)
+        rem_r, rem_s, rem_v, rem_id = [], [], [], []
+        for r in range(R):
+            active = off_val[r] != 0
+            offs = np.where(active, src_idx[r] - rows, 0).astype(np.int64)
+            offsets[r] = offs
+            if active.any():
+                vals, counts = np.unique(offs[active], return_counts=True)
+                top = vals[np.argsort(counts)[::-1][:K]]
+            else:
+                top = np.zeros(0, np.int64)
+            # pad unused buckets with the first delta (duplicate buckets
+            # match the same rows twice — forbidden).  Use an impossible
+            # delta instead: n_pad (no row can have src = i + n_pad).
+            bd = np.full(K, n_pad, np.int64)
+            bd[:top.shape[0]] = top
+            bucket_delta[r] = bd.astype(np.int32)
+            in_bucket = np.isin(offs, top) & active
+            res = active & ~in_bucket
+            if res.any():
+                idx = np.nonzero(res)[0]
+                rem_r.append(idx.astype(np.int32))
+                rem_s.append(src_idx[r][idx].astype(np.int32))
+                rem_v.append(off_val[r][idx])
+                rem_id.append(np.full(idx.size, r, np.int32))
+        m = sum(x.shape[0] for x in rem_r)
+        m_pad = max(_capacity_ladder(max(m, 1), 256),
+                    getattr(self, "_rem_pad", 0))
+        self._rem_pad = m_pad
+        self._rem_frac = m / max(self._nnz, 1)
+        rem_row = np.zeros(m_pad, np.int32)
+        rem_src = np.zeros(m_pad, np.int32)
+        rem_val = np.zeros(m_pad, np.float64)
+        rem_rid = np.zeros(m_pad, np.int32)
+        o = 0
+        for rr, ss, vv, ii in zip(rem_r, rem_s, rem_v, rem_id):
+            rem_row[o:o + rr.size] = rr
+            rem_src[o:o + rr.size] = ss
+            rem_val[o:o + rr.size] = vv
+            rem_rid[o:o + rr.size] = ii
+            o += rr.size
+        return offsets, bucket_delta, rem_row, rem_src, rem_val, rem_rid
 
     def data(self) -> EllOpData:
         """Epoch data to thread through jitted solves as an argument."""
         return self._data
+
+    def _gather_mode(self) -> str:
+        """'bucket' (roll-based, the TPU fast path) unless the locality
+        ordering failed to concentrate the offsets (residue > 35%), or
+        forced via PACMENSL_ELL_GATHER={bucket,plain}."""
+        import os
+        forced = os.environ.get("PACMENSL_ELL_GATHER")
+        if forced in ("bucket", "plain"):
+            return forced
+        return "bucket" if self._rem_frac <= 0.35 else "plain"
 
     # ------------------------------------------------------------ action
     def action(self, t, y: FspVector,
@@ -174,8 +266,33 @@ class EllOperator:
         c = jnp.asarray(
             [c_full[r] for r in self.enable_reactions])  # [R]
 
-        gathered = data.off_val * p[data.src_idx]        # [R, n_pad]
-        dp = c @ gathered - p * (c @ data.diag_val)
+        if self._gather_mode() == "bucket":
+            # Bucket-shift gather: rows whose source offset equals a
+            # bucket delta read p through a dynamic roll (p[i + d] =
+            # roll(p, -d)[i], two dynamic-slice copies at HBM speed —
+            # XLA's per-element gather on TPU is ~100x slower); the
+            # residue is a compacted gather + scatter-add.  Wrapped roll
+            # reads only land on rows whose off_val mask is zero (every
+            # active row's true source is in range), so wrap needs no
+            # special handling.
+            R = len(self.enable_reactions)
+            K = data.bucket_delta.shape[1]
+            inflow = jnp.zeros_like(p)
+            for r in range(R):
+                contrib = jnp.zeros_like(p)
+                for k in range(K):
+                    d = data.bucket_delta[r, k]
+                    pr = jnp.roll(p, -d)
+                    w = jnp.where(data.offsets[r] == d,
+                                  data.off_val[r], 0.0)
+                    contrib = contrib + w * pr
+                inflow = inflow + c[r] * contrib
+            upd = data.rem_val * p[data.rem_src] * c[data.rem_rid]
+            inflow = inflow.at[data.rem_row].add(upd)
+            dp = inflow - p * (c @ data.diag_val)
+        else:
+            gathered = data.off_val * p[data.src_idx]    # [R, n_pad]
+            dp = c @ gathered - p * (c @ data.diag_val)
 
         n_c = self.num_constraints
         # [R, n_c, n_pad] bit test fused into the reduction

@@ -157,3 +157,68 @@ def test_sink_rows_capture_outflow():
     dy = op.action(0.0, y)
     np.testing.assert_allclose(float(dy.sinks[0]), 2.0 * 0.5, rtol=1e-13)
     np.testing.assert_allclose(float(jnp.sum(dy.p)), -1.0, rtol=1e-13)
+
+
+def test_ell_bucket_gather_matches_plain(monkeypatch):
+    """The bucket-shift gather (dynamic rolls + compacted residue — the
+    TPU fast path for compressed spaces) must reproduce the plain XLA
+    gather exactly, including across an expansion-style reassembly."""
+    import jax.numpy as jnp
+    from pacmensl_tpu.statespace.state_set import StateSet
+    from pacmensl_tpu.statespace.constraints import ConstraintSet
+    from pacmensl_tpu.ops.ell_operator import EllOperator
+    from pacmensl_tpu.ops.vecops import FspVector
+
+    b = pm.models.repressilator()
+    cs = ConstraintSet(b.constraint, b.bounds, b.expansion_factors)
+    ss = StateSet(b.model.stoichiometry, cs, init_states=b.x0)
+    ss.expand()
+    op = EllOperator(b.model, ss, dtype=jnp.float64)
+    print("residue fraction:", op._rem_frac)
+
+    rng = np.random.default_rng(0)
+    p = np.zeros(op.n_pad)
+    p[:ss.num_states] = rng.random(ss.num_states)
+    y = FspVector(p=jnp.asarray(p), sinks=jnp.zeros((6,), jnp.float64))
+
+    outs = {}
+    for mode in ("plain", "bucket"):
+        monkeypatch.setenv("PACMENSL_ELL_GATHER", mode)
+        outs[mode] = op.action(0.7, y)
+    np.testing.assert_allclose(np.asarray(outs["bucket"].p),
+                               np.asarray(outs["plain"].p),
+                               rtol=1e-13, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(outs["bucket"].sinks),
+                               np.asarray(outs["plain"].sinks),
+                               rtol=1e-13, atol=1e-14)
+
+    # expansion epoch: grow bounds, reassemble, compare again
+    ss.set_bounds(cs.expanded_bounds(np.ones(6, bool)))
+    ss.expand()
+    op.reassemble()
+    p2 = np.zeros(op.n_pad)
+    p2[:ss.num_states] = rng.random(ss.num_states)
+    y2 = FspVector(p=jnp.asarray(p2), sinks=jnp.zeros((6,), jnp.float64))
+    outs = {}
+    for mode in ("plain", "bucket"):
+        monkeypatch.setenv("PACMENSL_ELL_GATHER", mode)
+        outs[mode] = op.action(0.7, y2)
+    np.testing.assert_allclose(np.asarray(outs["bucket"].p),
+                               np.asarray(outs["plain"].p),
+                               rtol=1e-13, atol=1e-14)
+
+
+def test_ell_bucket_full_solve_matches(monkeypatch):
+    """End-to-end Poisson oracle through the bucket gather path."""
+    from scipy.stats import poisson as poisson_law
+    monkeypatch.setenv("PACMENSL_ELL_GATHER", "bucket")
+    b = pm.models.poisson(2.0)
+    s = pm.FspSolverMultiSinks(backend="ell", odes_type="krylov")
+    s.set_model(b.model)
+    s.set_initial_bounds(b.bounds)
+    s.set_expansion_factors([0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    s.set_ode_tolerances(1e-8, 1e-14)
+    d = s.solve(6.0, 1e-6)
+    pdf = poisson_law.pmf(d.states[:, 0], 12.0)
+    assert np.abs(d.p - pdf).sum() <= 1e-6
