@@ -58,12 +58,26 @@ def _round_up(x: int, m: int) -> int:
 
 class ShardedEllData(NamedTuple):
     """Per-epoch sharded operator arrays + exchange plan (jit argument,
-    so within-capacity expansion epochs reuse the compiled solve)."""
+    so within-capacity expansion epochs reuse the compiled solve).
+
+    ``offs``/``bdelta``/``rem_*`` extend the bucket-shift gather (see
+    :class:`~pacmensl_tpu.ops.ell_operator.EllOperator`) to the sharded
+    hot loop: local-source rows whose offset hits a per-shard top-K
+    bucket are served by dynamic rolls of the LOCAL block, and only the
+    residue (remote sources + off-bucket locals) reads the
+    halo-extended vector — so the ``all_to_all`` feeds nothing but the
+    small residue gather and overlaps with the roll compute."""
     send_idx: jnp.ndarray   # [D, D, S] int32 per-pair send gather plan
     src_uni: jnp.ndarray    # [D, R, L] int32 unified gather indices
     off: jnp.ndarray        # [D, R, L] off-diagonal values
     diag: jnp.ndarray       # [D, R, L] outflow values
     bits: jnp.ndarray       # [D, R, L] uint32 sink bitmasks
+    offs: jnp.ndarray       # [D, R, L] int32 local offset or L+1 sentinel
+    bdelta: jnp.ndarray     # [D, R, K] int32 per-shard top-K offsets
+    rem_row: jnp.ndarray    # [D, M] int32 residue destination rows
+    rem_src: jnp.ndarray    # [D, M] int32 residue indices into ext
+    rem_val: jnp.ndarray    # [D, M] residue off-diagonal values (0 pad)
+    rem_rid: jnp.ndarray    # [D, M] int32 residue reaction ids
 
 
 class ShardedEllOperator(EllOperator):
@@ -159,37 +173,119 @@ class ShardedEllOperator(EllOperator):
             return np.ascontiguousarray(                    # [D, R, L]
                 np.asarray(a).reshape(a.shape[0], D, L).transpose(1, 0, 2))
 
+        off_sh = shardify(np.asarray(jax.device_get(self.off_val)))
+
+        # ---- per-shard bucket-shift plan (local rolls + residue) -------
+        K = self.K_BUCKETS
+        SENT = np.int32(L + 1)              # no local offset can equal it
+        rows_l = np.arange(L, dtype=np.int64)
+        offs_sh = np.full((D, R, L), SENT, np.int32)
+        # bucket padding must differ from the remote-row sentinel, else a
+        # padded bucket slot would match every remote row's offs entry
+        bdelta = np.full((D, R, K), L + 2, np.int32)
+        rem_lists = [[] for _ in range(D)]  # (row, src_uni, val, rid)
+        used_total = max(int((off_sh != 0).sum()), 1)
+        rem_total = 0
+        for d in range(D):
+            for r in range(R):
+                use = off_sh[d, r] != 0.0
+                local = use & (src_uni[d, r] < L)
+                offs = src_uni[d, r].astype(np.int64) - rows_l
+                offs_sh[d, r] = np.where(local, offs, SENT).astype(np.int32)
+                if local.any():
+                    vals, counts = np.unique(offs[local],
+                                             return_counts=True)
+                    top = vals[np.argsort(counts)[::-1][:K]]
+                    bdelta[d, r, :top.shape[0]] = top.astype(np.int32)
+                    in_b = np.isin(offs, top) & local
+                else:
+                    in_b = np.zeros(L, bool)
+                res = use & ~in_b
+                if res.any():
+                    idx = np.nonzero(res)[0]
+                    rem_lists[d].append(
+                        (idx.astype(np.int32),
+                         src_uni[d, r][idx].astype(np.int32),
+                         off_sh[d, r][idx],
+                         np.full(idx.size, r, np.int32)))
+                    rem_total += idx.size
+        m_max = max((sum(x[0].size for x in parts)
+                     for parts in rem_lists), default=0)
+        M = max(_round_up(max(m_max, 1), 8),
+                getattr(self, "_rem_floor", 0))
+        self._rem_floor = M
+        self._rem_frac = rem_total / used_total
+        rem_row = np.zeros((D, M), np.int32)
+        rem_src = np.zeros((D, M), np.int32)
+        rem_val = np.zeros((D, M), np.float64)
+        rem_rid = np.zeros((D, M), np.int32)
+        for d in range(D):
+            o = 0
+            for rr, ss, vv, ii in rem_lists[d]:
+                rem_row[d, o:o + rr.size] = rr
+                rem_src[d, o:o + rr.size] = ss
+                rem_val[d, o:o + rr.size] = vv
+                rem_rid[d, o:o + rr.size] = ii
+                o += rr.size
+
         row = NamedSharding(self.mesh, P(STATE_AXIS))
         put = partial(jax.device_put, device=row)
         self._sh_data = ShardedEllData(
             send_idx=put(jnp.asarray(send_idx)),
             src_uni=put(jnp.asarray(src_uni)),
-            off=put(jnp.asarray(
-                shardify(np.asarray(jax.device_get(self.off_val))),
-                self.dtype)),
+            off=put(jnp.asarray(off_sh, self.dtype)),
             diag=put(jnp.asarray(
                 shardify(np.asarray(jax.device_get(self.diag_val))),
                 self.dtype)),
             bits=put(jnp.asarray(
-                shardify(np.asarray(jax.device_get(self.sink_bits))))))
+                shardify(np.asarray(jax.device_get(self.sink_bits))))),
+            offs=put(jnp.asarray(offs_sh)),
+            bdelta=put(jnp.asarray(bdelta)),
+            rem_row=put(jnp.asarray(rem_row)),
+            rem_src=put(jnp.asarray(rem_src)),
+            rem_val=put(jnp.asarray(rem_val, self.dtype)),
+            rem_rid=put(jnp.asarray(rem_rid)))
 
         n_c = self.num_constraints
         dtype = self.dtype
-        key = (self.shard_len, S, R, n_c)
+        mode = self._gather_mode()
+        key = (self.shard_len, S, R, n_c, M, mode)
         if key == self._smapped_key:
             return                      # shapes unchanged: keep compiled fn
         self._smapped_key = key
 
-        def local_mv(c, p_loc, send_ix, src_u, off_l, diag_l, bits_l):
+        K_b = self.K_BUCKETS
+
+        def local_mv(c, p_loc, send_ix, src_u, off_l, diag_l, bits_l,
+                     offs_l, bdelta_l, rrow_l, rsrc_l, rval_l, rrid_l):
             send_ix = send_ix[0]            # [D, S]
             src_u, off_l = src_u[0], off_l[0]
             diag_l, bits_l = diag_l[0], bits_l[0]
+            offs_l, bdelta_l = offs_l[0], bdelta_l[0]
+            rrow_l, rsrc_l = rrow_l[0], rsrc_l[0]
+            rval_l, rrid_l = rval_l[0], rrid_l[0]
             # halo exchange: one all_to_all carries every pairwise list
             send = p_loc[send_ix]                         # [D, S]
             recv = lax.all_to_all(send, STATE_AXIS, 0, 0, tiled=True)
             ext = jnp.concatenate([p_loc, recv.reshape(-1)])
-            gathered = off_l * ext[src_u]                 # [R, L]
-            dp = c @ gathered - p_loc * (c @ diag_l)
+            if mode == "bucket":
+                # local-bucket rolls; the all_to_all result feeds only
+                # the residue gather below, so it overlaps with them
+                inflow = jnp.zeros_like(p_loc)
+                for r in range(R):
+                    contrib = jnp.zeros_like(p_loc)
+                    for k in range(K_b):
+                        dlt = bdelta_l[r, k]
+                        pr = jnp.roll(p_loc, -dlt)
+                        w = jnp.where(offs_l[r] == dlt, off_l[r], 0.0)
+                        contrib = contrib + w * pr
+                    inflow = inflow + c[r] * contrib
+                upd = rval_l * ext[rsrc_l] * c[rrid_l]
+                inflow = inflow.at[rrow_l].add(upd)
+                dp = inflow - p_loc * (c @ diag_l)
+            else:
+                gathered = off_l * ext[src_u]             # [R, L]
+                dp = c @ gathered - p_loc * (c @ diag_l)
             # sink rows on local states, reduced over the mesh
             bit = jnp.arange(n_c, dtype=jnp.uint32)
             viol = ((bits_l[:, None, :] >> bit[None, :, None]) & 1
@@ -201,8 +297,7 @@ class ShardedEllOperator(EllOperator):
 
         self._smapped = _shard_map(
             local_mv, mesh=self.mesh,
-            in_specs=(P(), P(STATE_AXIS), P(STATE_AXIS), P(STATE_AXIS),
-                      P(STATE_AXIS), P(STATE_AXIS), P(STATE_AXIS)),
+            in_specs=(P(), P(STATE_AXIS)) + (P(STATE_AXIS),) * 11,
             out_specs=(P(STATE_AXIS), P()))
 
     # ------------------------------------------------------------ action
@@ -216,7 +311,10 @@ class ShardedEllOperator(EllOperator):
         c_full = self.model.coefficients(t, self.dtype)
         c = jnp.asarray([c_full[r] for r in self.enable_reactions])
         dp, dsinks = self._smapped(c, y.p, data.send_idx, data.src_uni,
-                                   data.off, data.diag, data.bits)
+                                   data.off, data.diag, data.bits,
+                                   data.offs, data.bdelta, data.rem_row,
+                                   data.rem_src, data.rem_val,
+                                   data.rem_rid)
         return FspVector(p=dp, sinks=dsinks.astype(y.sinks.dtype))
 
     def zero_vector(self) -> FspVector:

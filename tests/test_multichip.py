@@ -103,3 +103,35 @@ def test_halo_ell_matches_single_device():
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(d8.sinks), np.asarray(d1.sinks),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_sharded_ell_bucket_matches_plain(monkeypatch):
+    """The sharded bucket-shift gather (per-shard local rolls + residue
+    over the halo-extended vector) must equal the plain unified gather
+    exactly."""
+    import os
+    import jax.numpy as jnp
+    from pacmensl_tpu.parallel.halo_ell import ShardedEllOperator
+    from pacmensl_tpu.statespace.state_set import StateSet
+    from pacmensl_tpu.statespace.constraints import ConstraintSet
+    from pacmensl_tpu.ops.vecops import FspVector
+
+    b = pm.models.toggle()
+    cs = ConstraintSet(None, [31, 31])
+    ss = StateSet(b.model.stoichiometry, cs, init_states=b.x0)
+    ss.expand()
+    mesh = make_mesh(8)
+    outs = {}
+    for mode in ("plain", "bucket"):
+        monkeypatch.setenv("PACMENSL_ELL_GATHER", mode)
+        op = ShardedEllOperator(b.model, ss, mesh, dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        p = np.zeros(op.n_pad)
+        p[:ss.num_states] = rng.random(ss.num_states)
+        y = FspVector(p=jnp.asarray(p), sinks=jnp.zeros((2,), jnp.float64))
+        out = op.action(0.3, y)
+        outs[mode] = (np.asarray(out.p), np.asarray(out.sinks))
+    np.testing.assert_allclose(outs["bucket"][0], outs["plain"][0],
+                               rtol=1e-13, atol=1e-14)
+    np.testing.assert_allclose(outs["bucket"][1], outs["plain"][1],
+                               rtol=1e-13, atol=1e-14)
