@@ -490,6 +490,38 @@ def telegraph(k01: float = 1.0e-2, k10: float = 1.0e-1,
     )
 
 
+def hog1p_3d_sens() -> BundledModel:
+    """hog1p_3d as a SensModel in (trans, gamma) — the translation and
+    degradation rates (the reference's SensModels are user-assembled from
+    DPropFun callbacks + sparsity lists, SensModel.h:58-97; this bundles
+    the benchmark model the same way for the sensitivity driver)."""
+    base = hog1p_3d()
+    trans, gamma = 0.01, 0.0049
+    stoich = base.model.stoichiometry
+
+    def d_prop(x, j, r):
+        xf = _f(x)
+        if j == 0 and r == 4:          # d/d trans [trans * x1]
+            return xf[:, 1]
+        if j == 1 and r == 5:          # d/d gamma [gamma * x1]
+            return xf[:, 1]
+        if j == 1 and r == 6:          # d/d gamma [gamma * x2]
+            return xf[:, 2]
+        return jnp.zeros_like(xf[:, 0])
+
+    m = SensModel(stoich, base.model.propensity,
+                  base.model.t_coeff, tv_reactions=(2,),
+                  num_parameters=2,
+                  d_propensity=d_prop,
+                  dprop_sparsity=((4,), (5, 6)),
+                  d_t_coeff=None, dtcoef_sparsity=())
+    return BundledModel(
+        model=m, constraint=base.constraint,
+        bounds=base.bounds, expansion_factors=base.expansion_factors,
+        x0=base.x0, p0=base.p0, name="hog1p_3d_sens",
+    )
+
+
 ALL_MODELS = {
     "toggle": toggle,
     "repressilator": repressilator,
@@ -499,4 +531,5 @@ ALL_MODELS = {
     "poisson": poisson,
     "birth_death": birth_death,
     "telegraph": telegraph,
+    "hog1p_3d_sens": hog1p_3d_sens,
 }

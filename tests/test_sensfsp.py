@@ -112,3 +112,82 @@ def test_fim_and_sens_marginal():
     d.save("/tmp/sens_ckpt.npz")
     d2 = SensDiscreteDistribution.load("/tmp/sens_ckpt.npz")
     np.testing.assert_allclose(d2.dp, d.dp)
+
+
+@pytest.mark.slow
+def test_hog1p_sens_finite_difference_and_epoch_reuse():
+    """hog1p_3d sensitivity solve (round-2 verdict item 5): dP/d(trans)
+    against a central finite difference of two plain solves, and the
+    epoch machinery contract — at most one operator-capacity growth per
+    ladder rung (reassemble() returns True only when shapes change)."""
+    import pacmensl_tpu as pm
+    from pacmensl_tpu.ops.sens_operator import SensOperator
+
+    t_final, tol = 30.0, 1e-7
+    b = pm.models.hog1p_3d_sens()
+
+    grew_flags = []
+    orig = SensOperator.reassemble
+
+    def counting(self):
+        out = orig(self)
+        grew_flags.append(bool(out))
+        return out
+
+    SensOperator.reassemble = counting
+    try:
+        s = pm.SensFspSolverMultiSinks(backend="ell", odes_type="cvode")
+        s.set_model(b.model)
+        s.set_constraint_functions(b.constraint)
+        s.set_initial_bounds(b.bounds)
+        s.set_expansion_factors(b.expansion_factors)
+        s.set_initial_distribution(b.x0, b.p0)
+        s.set_ode_tolerances(1e-8, 1e-14)
+        sd = s.solve(t_final, tol)
+    finally:
+        SensOperator.reassemble = orig
+    # within-capacity epochs must NOT have grown (program reuse); the
+    # number of growths is the number of ladder rungs crossed
+    n_epochs = len(grew_flags)
+    n_grew = sum(grew_flags)
+    assert n_epochs >= 2, "expected expansion epochs"
+    assert n_grew < n_epochs, \
+        "every epoch rebuilt the operator (no capacity reuse)"
+
+    # central finite difference in the translation rate
+    eps = 0.1 * 0.01     # 10%: FD noise ~ tol/eps must stay small
+    def plain(trans):
+        base = pm.models.hog1p_3d()
+        import numpy as _np
+        import jax.numpy as _jnp
+        stoich = base.model.stoichiometry
+        prop0 = base.model.propensity
+
+        def prop(x, r, _p=prop0, _tr=trans):
+            if r == 4:
+                xf = x.astype(_jnp.float64) if not _jnp.issubdtype(
+                    x.dtype, _jnp.floating) else x
+                return _tr * xf[:, 1]
+            return _p(x, r)
+
+        m = pm.Model(stoich, prop, base.model.t_coeff, tv_reactions=(2,))
+        sp = pm.FspSolverMultiSinks(backend="ell", odes_type="cvode")
+        sp.set_model(m)
+        sp.set_constraint_functions(base.constraint)
+        sp.set_initial_bounds(base.bounds)
+        sp.set_expansion_factors(base.expansion_factors)
+        sp.set_initial_distribution(base.x0, base.p0)
+        sp.set_ode_tolerances(1e-8, 1e-14)
+        return sp.solve(t_final, tol)
+
+    dp, dm = plain(0.01 + eps), plain(0.01 - eps)
+    keyd = {tuple(x): float(p) for x, p in zip(dp.states, dp.p)}
+    keym = {tuple(x): float(p) for x, p in zip(dm.states, dm.p)}
+    got = {tuple(x): float(v) for x, v in zip(sd.states, sd.dp[0])}
+    num, den = 0.0, 0.0
+    for k, g in got.items():
+        fd = (keyd.get(k, 0.0) - keym.get(k, 0.0)) / (2 * eps)
+        num += abs(g - fd)
+        den += abs(fd)
+    assert den > 0
+    assert num / den < 5e-2, num / den
