@@ -226,5 +226,30 @@ def main():
     }))
 
 
+def _watchdog(seconds: int):
+    """Emit a fallback JSON line and exit if the benchmark wedges.
+
+    The tunneled TPU's remote compile service has been observed to hang
+    indefinitely (trivial programs not compiling within minutes); a
+    benchmark that never prints is worse than one that reports failure.
+    """
+    import signal
+
+    def on_alarm(signum, frame):
+        log(f"WATCHDOG: bench exceeded {seconds}s (tunnel/compile hang?); "
+            "emitting failure record")
+        print(json.dumps({
+            "metric": "repressilator_spmv_nnz_per_s",
+            "value": 0.0,
+            "unit": "nnz/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _watchdog(int(os.environ.get("PACMENSL_BENCH_TIMEOUT", "540")))
     main()
