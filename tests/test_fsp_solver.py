@@ -104,3 +104,22 @@ def test_event_log_populated():
         assert name in log.events
     red = s.reduce_component_timing()
     assert red["Solving"][2] > 0
+
+
+@pytest.mark.slow
+def test_transcr_reg_6d_solve():
+    """6-species transcription-regulation benchmark model (reference
+    examples/transcr_reg_6d.cpp): time-varying reactions, dynamic
+    expansion, probability conservation over the first minute of the
+    cell cycle."""
+    b = pm.models.transcription_regulation_6d()
+    s = pm.FspSolverMultiSinks(backend="ell", odes_type="cvode")
+    s.set_model(b.model)
+    s.set_initial_bounds(b.bounds)
+    s.set_expansion_factors(b.expansion_factors)
+    s.set_initial_distribution(b.x0, b.p0)
+    n0 = int(np.prod(np.asarray(b.bounds) + 1))
+    d = s.solve(30.0, 1e-4)
+    total = float(d.sum()) + float(d.sinks.sum())
+    assert abs(total - 1.0) < 1e-8
+    assert d.num_states > n0, "expected dynamic expansion"
