@@ -70,3 +70,26 @@ def test_auto_routing_on_cpu_prefers_ell_for_custom_fn():
     compressed backend."""
     _, s = _solve("auto", t_final=0.05)
     assert s._backend_used == "ell"
+
+
+def test_hog1p_5d_box_matches_ell():
+    """The 5-species time-varying hog1p benchmark through the dense box
+    backend (the TPU auto-route for its custom gated-sum constraints)
+    must match the compressed backend."""
+    b = pm.models.hog1p_5d()
+
+    def run(backend):
+        s = pm.FspSolverMultiSinks(backend=backend, odes_type="cvode")
+        s.set_model(b.model)
+        s.set_constraint_functions(b.constraint)
+        s.set_initial_bounds(b.bounds)
+        s.set_expansion_factors(b.expansion_factors)
+        s.set_initial_distribution(b.x0, b.p0)
+        return s.solve(4.0, 1e-4)
+
+    d1, d2 = run("box"), run("ell")
+    assert d1.num_states == d2.num_states
+    m = {tuple(x): float(p) for x, p in zip(d2.states, d2.p)}
+    tv = 0.5 * sum(abs(float(p) - m[tuple(x)])
+                   for x, p in zip(d1.states, d1.p))
+    assert tv < 1e-6, tv
