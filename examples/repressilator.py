@@ -59,18 +59,21 @@ def main(argv=None):
     b = pm.models.repressilator()
 
     # Stage 1: adaptive with custom constraints
-    run_stage("adaptive_custom", b, b.constraint, b.bounds,
-              b.expansion_factors, opts, t_final, fsp_tol, out_dir)
+    d_c, _ = run_stage("adaptive_custom", b, b.constraint, b.bounds,
+                       b.expansion_factors, opts, t_final, fsp_tol, out_dir)
     # Stage 2: adaptive with default hyper-rectangle constraints
-    run_stage("adaptive_hyperrec", b, None, b.bounds_hyperrec,
-              b.expansion_factors_hyperrec, opts, t_final, fsp_tol, out_dir)
-    # Stage 3+4: fixed space (tol 0 disables expansion) at generous bounds
-    d, _ = run_stage("fixed_custom", b, b.constraint,
-                     (b.bounds * 4).astype(int), b.expansion_factors,
-                     opts, t_final, 0.0, out_dir)
-    run_stage("fixed_hyperrec", b, None,
-              (b.bounds_hyperrec * 4).astype(int),
-              b.expansion_factors_hyperrec, opts, t_final, 0.0, out_dir)
+    d_h, _ = run_stage("adaptive_hyperrec", b, None, b.bounds_hyperrec,
+                       b.expansion_factors_hyperrec, opts, t_final,
+                       fsp_tol, out_dir)
+    # Stage 3+4: fixed-shape solves at the FINAL bounds the adaptive
+    # stages reached (reference repressilator.cpp:186-195 reuses
+    # GetShapeBounds() of the adaptive solve; the space is then already
+    # large enough, so no expansion occurs)
+    run_stage("fixed_custom", b, b.constraint, d_c.bounds,
+              b.expansion_factors, opts, t_final, fsp_tol, out_dir)
+    run_stage("fixed_hyperrec", b, None, d_h.bounds,
+              b.expansion_factors_hyperrec, opts, t_final, fsp_tol,
+              out_dir)
 
 
 if __name__ == "__main__":
