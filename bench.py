@@ -115,7 +115,11 @@ def main():
     # reads p once (+ halo duplication 2H/T in tiled mode) and writes dp
     # once; mask-reading mode reads the mask too.  Compare the achieved
     # bytes/s against a measured x2-copy stream on the same chip.
-    n_elems = int(np.prod(space.shape))
+    # The probe buffers must dwarf VMEM (128 MB on v5e): at the benchmark
+    # box size (~11 MB f32) BOTH ping-pong buffers are VMEM-resident and
+    # the "stream" measures on-chip bandwidth (observed 1.6-4.8 TB/s),
+    # not HBM.  256 MB per buffer forces genuine HBM traffic.
+    n_elems = max(int(np.prod(space.shape)), 1 << 26)
     x = jnp.zeros((n_elems,), dtype)
 
     # Return a SCALAR: fetching the full array back through the device
