@@ -118,9 +118,11 @@ def main():
     # The probe buffers must dwarf VMEM (128 MB on v5e): at the benchmark
     # box size (~11 MB f32) BOTH ping-pong buffers are VMEM-resident and
     # the "stream" measures on-chip bandwidth (observed 1.6-4.8 TB/s),
-    # not HBM.  256 MB per buffer forces genuine HBM traffic.
-    n_elems = max(int(np.prod(space.shape)), 1 << 26)
-    x = jnp.zeros((n_elems,), dtype)
+    # not HBM.  256 MB per buffer forces genuine HBM traffic.  The
+    # kernel-traffic model below still uses the BOX size.
+    n_elems = int(np.prod(space.shape))
+    n_probe = max(n_elems, 1 << 26)
+    x = jnp.zeros((n_probe,), dtype)
 
     # Return a SCALAR: fetching the full array back through the device
     # tunnel would measure RPC transfer, not HBM streaming.  Two-point
@@ -148,7 +150,7 @@ def main():
     t1 = time.perf_counter()
     stream_j(k_hi, x).block_until_ready()
     t2 = time.perf_counter()
-    bw = 3.0 * n_elems * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
+    bw = 3.0 * n_probe * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
         max((t2 - t1) - (t1 - t0), 1e-9)
     # sanity: a v5e datasheet reads ~819 GB/s HBM; a measurement far above
     # means the probe collapsed again and the roofline below is noise
