@@ -317,6 +317,16 @@ class ShardedEllOperator(EllOperator):
                                    data.rem_rid)
         return FspVector(p=dp, sinks=dsinks.astype(y.sinks.dtype))
 
+    def diagonal(self, t=0.0, data: Optional[ShardedEllData] = None
+                 ) -> jnp.ndarray:
+        """diag(A(t)) over the padded vector; the sharded epoch data keeps
+        the outflow values as [D, R, L] blocks (global row = d*L + l)."""
+        if data is None:
+            data = self._sh_data
+        c_full = self.model.coefficients(t, self.dtype)
+        c = jnp.asarray([c_full[r] for r in self.enable_reactions])
+        return -jnp.einsum("r,drl->dl", c, data.diag).reshape(-1)
+
     def zero_vector(self) -> FspVector:
         row = NamedSharding(self.mesh, P(STATE_AXIS))
         rep = NamedSharding(self.mesh, P())

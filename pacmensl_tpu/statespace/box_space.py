@@ -21,6 +21,7 @@ states).
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -319,6 +320,7 @@ class BoxStateSpace:
                 self._prev_mask = jnp.zeros(self._shape, dtype=bool)
             else:
                 self._prev_mask = np.zeros(self._shape, dtype=bool)
+        t0 = time.perf_counter()
         if self.build_on_device:
             # One compiled program per capacity, run at device speed; with
             # preallocation the capacity never changes, so the whole
@@ -337,21 +339,28 @@ class BoxStateSpace:
             from ..sys.environment import local_cpu_device
             cpu = local_cpu_device()
             with jax.default_device(cpu):
-                mask_cpu, n, n_ok, leaks = self._mask_builder(
+                mask, n, n_ok, leaks = self._mask_builder(
                     jax.device_put(bounds_np, cpu),
                     jax.device_put(seed_np, cpu))
-            self._mask_host_cache = np.asarray(jax.device_get(mask_cpu))
+        # ONE batched transfer: through a tunneled TPU every device_get is
+        # a full round-trip; three separate fetches per expansion epoch
+        # measurably inflated the StatePartitioning phase (VERDICT r3 #2)
+        n_h, n_ok_h, leaks_h = jax.device_get((n, n_ok, leaks))
+        if not self.build_on_device:
+            self._mask_host_cache = np.asarray(jax.device_get(mask))
             # Device copy (uncommitted, resharding-friendly) is created
             # lazily by the ``mask`` property.
             self._mask = None
-        self._num_states = int(jax.device_get(n))
+        self._num_states = int(n_h)
         # Whenever BFS reachability prunes nothing (mask == constraint-ok,
         # the common case for the bundled models), the mask is a pure
         # function of (coords, bounds) — operators may then synthesize it
         # in-register instead of reading it from HBM.
-        self.mask_is_constraint_only = (self._num_states
-                                        == int(jax.device_get(n_ok)))
-        self._leaks = np.asarray(jax.device_get(leaks), dtype=bool)
+        self.mask_is_constraint_only = (self._num_states == int(n_ok_h))
+        self._leaks = np.asarray(leaks_h, dtype=bool)
+        ev = getattr(self, "events", None)
+        if ev is not None:
+            ev.add("MaskBFS", time.perf_counter() - t0)
         if not self._leaks.any():
             # keep only converged masks as future BFS seeds (a leaking
             # build repeats at larger capacity from the same seed)

@@ -71,16 +71,22 @@ class StepTrace:
     def record_epoch(self, n_steps: int, trace, n_eqs: int):
         """Drain one epoch's device-recorded ring buffer (chronological;
         on overflow the oldest steps are dropped and counted in
-        ``truncated``)."""
+        ``truncated``).  ``trace`` is either the device ring-buffer object
+        or an already-fetched ``(t, h, aux)`` tuple — the driver batches
+        the fetch with its other per-epoch reads to save round-trips."""
         if trace is None:
             return
         import numpy as np
         n_steps = int(n_steps)
         if n_steps <= 0:
             return
-        t = np.asarray(jax.device_get(trace.t), dtype=float)
-        h = np.asarray(jax.device_get(trace.h), dtype=float)
-        aux = np.asarray(jax.device_get(trace.aux), dtype=int)
+        if isinstance(trace, tuple):
+            t_d, h_d, aux_d = trace
+        else:
+            t_d, h_d, aux_d = jax.device_get((trace.t, trace.h, trace.aux))
+        t = np.asarray(t_d, dtype=float)
+        h = np.asarray(h_d, dtype=float)
+        aux = np.asarray(aux_d, dtype=int)
         cap = t.shape[0]
         if n_steps > cap:                  # ring wrapped
             start = n_steps % cap
