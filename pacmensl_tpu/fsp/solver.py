@@ -642,7 +642,9 @@ class FspSolverMultiSinks:
         if self.verbosity:
             print(f"[fsp] t = {self._t_now:.4g}: expanding to bounds "
                   f"{new_bounds.tolist()}")
-        if self._should_leave_box(new_bounds):
+        with self.events.timed("LeaveBoxCheck"):
+            leave = self._should_leave_box(new_bounds)
+        if leave:
             with self.events.timed(EVT_PARTITION):
                 self._migrate_box_to_ell()
         p_old, sinks_old = self._y.p, self._y.sinks
@@ -791,6 +793,7 @@ class FspSolverMultiSinks:
                     self._ode_solver_key = solver_key
                 solver = self._ode_solver
                 if fsp_tol > 0:
+                    t_fg = time.perf_counter()
                     # already-lost sink mass beyond the pro-rated budget
                     # at epoch start — forgiven by the stop-check (see
                     # _make_ode_solver); zeros in the benign regime.
@@ -818,6 +821,8 @@ class FspSolverMultiSinks:
                              + 1.0e-3 * fsp_tol / n_sinks)
                     forgiven = jnp.asarray(
                         np.maximum(0.0, excess_now) + slack, self.dtype)
+                    self.events.add("StopCheckPrep",
+                                    time.perf_counter() - t_fg)
                 else:
                     forgiven = None
                 with self.events.timed(EVT_ODESOLVE):
@@ -845,7 +850,8 @@ class FspSolverMultiSinks:
                                           res.trace.aux)
                 if status == STATUS_FSP_STOP:
                     fetch["viol"] = res.viol_excess
-                host = jax.device_get(fetch)
+                with self.events.timed("HostFetch"):
+                    host = jax.device_get(fetch)
                 self.sinks_ = np.asarray(host["sinks"])
                 if self.log_events:
                     self.step_trace.record_epoch(
@@ -909,16 +915,33 @@ class FspSolverMultiSinks:
     def num_states(self) -> int:
         return self._space.num_states if self._space is not None else 0
 
+    @staticmethod
+    def _gather_global(arr) -> np.ndarray:
+        """Host copy of a possibly cross-process-sharded array: a
+        jax.distributed run's row-sharded solution spans non-addressable
+        devices, so extraction all-gathers (the reference's final
+        VecScatter to rank 0, FspSolverMultiSinks.cpp:719-731)."""
+        if jax.process_count() > 1 and hasattr(arr, "is_fully_addressable") \
+                and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                arr, tiled=True))
+        return np.asarray(jax.device_get(arr))
+
     def _make_distribution(self) -> DiscreteDistribution:
         if self._backend_used == "box":
             states = self._space.states()
             p_dev = self._y.p
             if p_dev.ndim == 1:        # padded layout -> box for extraction
                 p_dev = self._operator.from_padded(p_dev)
-            p = self._space.extract_valid(p_dev)
+            if jax.process_count() > 1:
+                p_host = self._gather_global(p_dev)
+                p = p_host.reshape(-1)[self._space.mask_host.reshape(-1)]
+            else:
+                p = self._space.extract_valid(p_dev)
         else:
             states = self._space.copy_states()
-            p = np.asarray(jax.device_get(self._y.p))[:states.shape[0]]
+            p = self._gather_global(self._y.p)[:states.shape[0]]
         return DiscreteDistribution(
             t=self._t_now, states=states, p=p,
             bounds=self.constraints.bounds.copy(),

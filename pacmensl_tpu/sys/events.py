@@ -149,12 +149,26 @@ class EventLog:
         rec.flops += float(flops)
 
     def reduce(self):
-        """(min, max, sum) per event; single-host => all equal.
-
-        Kept for report parity with the reference's ReduceComponentTiming.
-        """
-        return {k: (v.total_s, v.total_s, v.total_s)
-                for k, v in self.events.items()}
+        """(min, max, sum) of each event's wall time across
+        ``jax.distributed`` processes — real ``ReduceComponentTiming``
+        parity (reference ``FspSolverMultiSinks.cpp:467-516``, MPI
+        min/max/sum).  Collective when multi-process: every process must
+        call it with the same event-name set (SPMD discipline, the same
+        contract the reference's MPI_Reduce has).  Single-process: all
+        three entries equal the local time."""
+        import numpy as np
+        if jax.process_count() <= 1:
+            return {k: (v.total_s, v.total_s, v.total_s)
+                    for k, v in self.events.items()}
+        from jax.experimental import multihost_utils
+        names = sorted(self.events)
+        local = np.asarray([self.events[k].total_s for k in names],
+                           dtype=np.float64)
+        all_t = np.asarray(multihost_utils.process_allgather(local))
+        all_t = all_t.reshape(jax.process_count(), len(names))
+        return {k: (float(all_t[:, i].min()), float(all_t[:, i].max()),
+                    float(all_t[:, i].sum()))
+                for i, k in enumerate(names)}
 
     def report(self) -> str:
         lines = [f"{'event':<24}{'count':>10}{'total_s':>14}{'gflops':>10}"]

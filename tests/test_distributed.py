@@ -46,3 +46,5 @@ def test_two_process_distributed_matvec():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "DISTOK" in out, f"worker {pid} missing sentinel:\n{out}"
+        assert "DISTSOLVEOK" in out, \
+            f"worker {pid} full-solve sentinel missing:\n{out}"
