@@ -158,6 +158,7 @@ def main():
         log(f"WARNING: stream probe measured {bw/1e9:.0f} GB/s — above "
             "any plausible single-chip HBM rate; roofline suspect")
     kern = getattr(op, "_pallas", None)
+    frac = None
     if kern is not None:
         halo = (2.0 * kern.halo_rows / kern.tile_rows
                 if kern.grid > 1 else 0.0)
@@ -224,12 +225,18 @@ def main():
             f"wall={time.perf_counter()-t0:.2f}s")
 
     log(f"total bench wall: {time.perf_counter()-t_all:.1f}s")
-    print(json.dumps({
+    rec = {
         "metric": "repressilator_spmv_nnz_per_s",
         "value": round(ours, 1),
         "unit": "nnz/s",
         "vs_baseline": round(ours / base, 3),
-    }))
+    }
+    if frac is not None:
+        # same-session roofline evidence (VERDICT r3 item 6): kernel
+        # bytes/s divided by THIS session's measured stream bytes/s
+        rec["roofline_fraction"] = round(float(frac), 3)
+        rec["stream_gbps"] = round(float(bw) / 1e9, 1)
+    print(json.dumps(rec))
 
 
 def _watchdog(seconds: int):

@@ -37,7 +37,8 @@ class ConstraintSet:
                  bounds,
                  expansion_factors=None,
                  num_species: Optional[int] = None,
-                 box_cache: Optional[dict] = None):
+                 box_cache: Optional[dict] = None,
+                 jit_cache: Optional[dict] = None):
         #: memo for derive_box_bounds, SHARED through with_bounds copies:
         #: an adaptive solve re-derives the bounding box of every epoch's
         #: bounds several times (backend routing, migration check, space
@@ -45,6 +46,11 @@ class ConstraintSet:
         #: of host corner-probe bisection — measured at ~40 s of a 140 s
         #: flagship solve before this cache.
         self._box_cache = box_cache if box_cache is not None else {}
+        #: jitted helpers whose bounds travel as ARGUMENTS, shared through
+        #: with_bounds copies — per-instance jits re-compiled every
+        #: expansion epoch (bounds are constants in _satisfied_impl),
+        #: ~0.1 s/epoch of probe cost on the flagship
+        self._jit_cache = jit_cache if jit_cache is not None else {}
         self.fn = fn
         # Per-constraint component callables (each (states[n,S]) -> [n]).
         # Used by the fused Pallas kernel to evaluate constraints one at a
@@ -168,7 +174,23 @@ class ConstraintSet:
 
     def with_bounds(self, bounds) -> "ConstraintSet":
         return ConstraintSet(self.fn, bounds, self.expansion_factors,
-                             self.num_species, box_cache=self._box_cache)
+                             self.num_species, box_cache=self._box_cache,
+                             jit_cache=self._jit_cache)
+
+    def _all_satisfied_with(self, states, bounds) -> np.ndarray:
+        """Host-side all-constraints check with bounds as a jit ARGUMENT
+        (one compile per states-shape for the whole adaptive solve; the
+        per-instance :meth:`all_satisfied` would recompile each epoch)."""
+        jf = self._jit_cache.get("all_sat_b")
+        if jf is None:
+            jf = jax.jit(lambda s, b: jnp.all(
+                self._values_impl(s) <= b[None, :], axis=1))
+            self._jit_cache["all_sat_b"] = jf
+        from ..sys.environment import local_cpu_device
+        cpu = local_cpu_device()
+        with jax.default_device(cpu):
+            return np.asarray(jf(jax.device_put(np.asarray(states), cpu),
+                                 jax.device_put(self.bounds, cpu)))
 
     def derive_box_bounds(self, num_species: int, init_states,
                           cap: int = 1 << 22) -> np.ndarray:
@@ -196,30 +218,105 @@ class ConstraintSet:
         if self.fn is None:
             box = self.bounds.copy()
         else:
-            box = np.zeros(num_species, dtype=np.int64)
-            for _ in range(1 + num_species):
-                prev = box.copy()
-                for i in range(num_species):
-                    others = [d for d in range(num_species) if d != i]
-                    grid = np.array(
-                        np.meshgrid(*[[0, int(box[d])] for d in others]),
-                        dtype=np.int64).reshape(len(others), -1).T \
-                        if others else np.zeros((1, 0), np.int64)
-                    corners = np.unique(grid, axis=0)
-                    w = np.zeros((corners.shape[0], num_species), np.int64)
-                    w[:, others] = corners
-                    lo, hi = 0, cap
-                    while lo < hi:   # largest v any witness satisfies
-                        mid = (lo + hi + 1) // 2
-                        w[:, i] = mid
-                        if bool(np.asarray(
-                                self.all_satisfied(w)).any()):
-                            lo = mid
-                        else:
-                            hi = mid - 1
-                    box[i] = lo
-                if (box == prev).all():
-                    break
+            box = self._probe_box(num_species, init_arr, cap)
         out = np.maximum(box, init_arr.max(axis=0))
         self._box_cache[key] = out.copy()
         return out
+
+    def _probe_box(self, num_species: int, init_arr, cap: int) -> np.ndarray:
+        """Corner-witness probe for custom constraint functions, batched:
+        ONE ``all_satisfied`` call per search step covers every species'
+        witnesses at once, and the search warm-starts (gallop + bisect)
+        from the last box derived for this constraint function — adaptive
+        solves re-derive the box every expansion epoch with slightly
+        grown bounds, so the warm bracket is tight and the per-epoch cost
+        drops from ~0.2 s (22 bisection dispatches x species x corners)
+        to a few milliseconds (measured: LeaveBoxCheck 10.6 s of a 60 s
+        flagship solve before this rewrite)."""
+        S = num_species
+        lastkey = ("last", S, init_arr.tobytes(), cap)
+        warm = self._box_cache.get(lastkey)
+        box = np.zeros(S, dtype=np.int64)
+        for _ in range(1 + S):
+            prev = box.copy()
+            blocks, spec_of = [], []
+            for i in range(S):
+                others = [d for d in range(S) if d != i]
+                grid = np.array(
+                    np.meshgrid(*[[0, int(box[d])] for d in others]),
+                    dtype=np.int64).reshape(len(others), -1).T \
+                    if others else np.zeros((1, 0), np.int64)
+                corners = np.unique(grid, axis=0)
+                w = np.zeros((corners.shape[0], S), np.int64)
+                w[:, others] = corners
+                blocks.append(w)
+                spec_of.append(np.full(corners.shape[0], i))
+            W = np.concatenate(blocks, axis=0)
+            sp = np.concatenate(spec_of)
+            n_rows = W.shape[0]
+            rows = np.arange(n_rows)
+
+            def feas_grid(cands):
+                """cands: [S, K] candidate values -> feasible [S, K]
+                (some witness with x_i = cands[i, k] satisfies every
+                constraint).  ONE batched evaluation for the whole grid —
+                the search is host-dispatch-bound, not compute-bound."""
+                K = cands.shape[1]
+                Wk = np.broadcast_to(W, (K,) + W.shape).copy()
+                Wk[:, rows, sp] = cands[sp, :].T
+                ok = self._all_satisfied_with(
+                    Wk.reshape(K * n_rows, S),
+                    self.bounds).reshape(K, n_rows)
+                out = np.zeros((S, K), dtype=bool)
+                for i in range(S):
+                    out[i] = ok[:, sp == i].any(axis=1)
+                return out
+
+            # Monotone grid search: lo = largest feasible value seen,
+            # hi = smallest infeasible seen - 1; each round evaluates a
+            # K-point grid in (lo, hi] and shrinks the bracket ~K-fold,
+            # so 2 calls resolve a warm bracket and ~4 a cold one (vs
+            # ~22 sequential bisection dispatches).
+            K = 64
+            lo = np.zeros(S, dtype=np.int64)
+            hi = np.full(S, cap, dtype=np.int64)
+            first = True
+            for _round in range(10):
+                act = lo < hi
+                if not act.any():
+                    break
+                cands = np.zeros((S, K), dtype=np.int64)
+                for i in range(S):
+                    if not act[i]:
+                        cands[i] = lo[i]
+                        continue
+                    if first:
+                        # warm window + geometric ladder to the cap
+                        w_i = (int(warm[i]) if warm is not None
+                               else 0)
+                        win = np.linspace(max(w_i, 1),
+                                          w_i + w_i // 4 + 2, 40)
+                        geo = np.geomspace(1, cap, K - 40)
+                        c = np.concatenate([win, geo])
+                    else:
+                        c = np.linspace(lo[i] + 1, hi[i], K)
+                    cands[i] = np.clip(np.round(c).astype(np.int64),
+                                       lo[i] + 1, hi[i])
+                f = feas_grid(cands)
+                for i in range(S):
+                    if not act[i]:
+                        continue
+                    ci = cands[i]
+                    if f[i].any():
+                        lo[i] = max(lo[i], int(ci[f[i]].max()))
+                    bad = ci[~f[i]]
+                    bad = bad[bad > lo[i]]
+                    if bad.size:
+                        hi[i] = min(hi[i], int(bad.min()) - 1)
+                    hi[i] = max(hi[i], lo[i])
+                first = False
+            box = lo
+            if (box == prev).all():
+                break
+        self._box_cache[lastkey] = box.copy()
+        return box

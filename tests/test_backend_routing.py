@@ -65,6 +65,7 @@ def test_box_migrates_to_ell_on_budget(monkeypatch):
     assert tv < 1e-5, tv
 
 
+@pytest.mark.medium
 def test_auto_routing_on_cpu_prefers_ell_for_custom_fn():
     """On CPU (no fused kernel) auto keeps custom constraints on the
     compressed backend."""

@@ -21,6 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.medium
 def test_two_process_distributed_matvec():
     coordinator = f"127.0.0.1:{_free_port()}"
     # scrub the TPU plugin's sitecustomize (PYTHONPATH) and platform pins:

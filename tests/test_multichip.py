@@ -105,6 +105,7 @@ def test_halo_ell_matches_single_device():
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.medium
 def test_sharded_ell_bucket_matches_plain(monkeypatch):
     """The sharded bucket-shift gather (per-shard local rolls + residue
     over the halo-extended vector) must equal the plain unified gather

@@ -193,6 +193,7 @@ def test_hog1p_sens_finite_difference_and_epoch_reuse():
     assert num / den < 5e-2, num / den
 
 
+@pytest.mark.medium
 @pytest.mark.parametrize("backend", ["box", "ell"])
 def test_sens_solve_on_mesh_matches_single_device(backend):
     """Meshed sensitivity solve vs single-device (VERDICT r3 missing #2):

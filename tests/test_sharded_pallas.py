@@ -102,6 +102,7 @@ def test_sharded_comm_is_surface_not_volume():
     assert comm < int(np.prod(space.shape))   # strictly sub-volume
 
 
+@pytest.mark.medium
 def test_overlap_split_matches_monolithic(monkeypatch):
     """Halo/compute overlap (SURVEY M3): the interior+boundary-strip split
     must reproduce the monolithic ppermute->kernel path exactly — the
