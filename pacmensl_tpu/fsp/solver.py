@@ -298,7 +298,11 @@ class FspSolverMultiSinks:
         if odes in (ODESolverType.KRYLOV, ODESolverType.EPIC):
             vecs = self.krylov_dim_range[1] + 2
         else:
-            vecs = 16   # BDF history + GMRES basis
+            # BDF: GMRES basis (restart+1) + Nordsieck history (q_max+3)
+            # + predictor/corrector work vectors.  16 was measured 2.2 GB
+            # short on a 125M-element hog1p box (XLA 'Used 17.93G of
+            # 15.75G hbm') — the live set is ~45 box vectors.
+            vecs = 48
         return mem / (vecs * np.dtype(self.dtype).itemsize)
 
     def _choose_backend(self) -> str:
@@ -340,7 +344,7 @@ class FspSolverMultiSinks:
             return False
         cs_new = self.constraints.with_bounds(new_bounds)
         box = cs_new.derive_box_bounds(self.model.num_species,
-                                       self._init_states)
+                                       self._init_int)
         from ..statespace.box_space import _round_capacity, MAX_BOX_ELEMS
         # monotone capacity estimate: axes already allocated larger than
         # the new extent keep their capacity (preallocated spaces sit at
@@ -354,6 +358,67 @@ class FspSolverMultiSinks:
             return True
         n = self._space.num_states
         return n > 5.0e5 and n < 0.015 * self._space.size
+
+    def _box_reorder_needed(self, new_bounds) -> bool:
+        """True when the grown bounds outgrow the box capacity AND the
+        extents are no longer in descending internal order — the event
+        where keeping the stale order would rebuild at a layout that
+        degrades or loses the fused kernel."""
+        if self._backend_used != "box":
+            return False
+        from ..statespace.permute import choose_axis_order
+        box = self.constraints.with_bounds(new_bounds).derive_box_bounds(
+            self.model.num_species, self._init_int)
+        ext = np.asarray(box, np.int64) + 1
+        if all(int(e) <= int(c) for e, c in zip(ext, self._space.shape)):
+            return False        # within capacity: no rebuild, no concern
+        return choose_axis_order(ext) is not None
+
+    def _rebuild_box_reordered(self, new_bounds, n_before,
+                               to_expand) -> None:
+        """Rebuild the box space/operator under a fresh descending-extent
+        axis order and scatter the solution by state identity (the
+        in-family analogue of _migrate_box_to_ell)."""
+        if self.verbosity:
+            print(f"[fsp] t = {self._t_now:.4g}: re-deriving box axis "
+                  "order at capacity growth")
+        space_old = self._space
+        p_dev = self._y.p
+        if p_dev.ndim == 1 and getattr(self._operator, "padded_layout",
+                                       False):
+            p_dev = self._operator.from_padded(p_dev)
+        p_vals = space_old.extract_valid(p_dev)      # host, states() order
+        states_int = space_old.states()
+        sinks_old = self._y.sinks
+        inv1 = getattr(self, "_axis_inv", None)
+        states_user = states_int if inv1 is None else states_int[:, inv1]
+        if inv1 is not None:
+            self.constraints = self._user_constraints.with_bounds(
+                new_bounds)
+        else:
+            self.constraints = self.constraints.with_bounds(new_bounds)
+        floor = getattr(self._operator, "sink_m_pad", 0)
+        with self.events.timed(EVT_MATGEN):
+            self._build_space()     # re-derives the axis order itself
+            self._escalate_if_stuck(n_before, to_expand)
+            self._operator = None
+            self._build_operator()
+            if self._operator.sink_m_pad < floor:
+                self._operator.sink_m_pad = floor
+        with self.events.timed(EVT_SCATTER):
+            s_int = (states_user if getattr(self, "_axis_inv", None)
+                     is None else states_user[:, self._axis_order])
+            idx = self._space.state2index(s_int)
+            if (idx < 0).any():
+                raise StateSpaceError(
+                    "reordered box lost states (reachability regression)")
+            p_new = np.zeros(self._space.size, dtype=np.float64)
+            p_new[idx] = p_vals
+            p = jnp.asarray(p_new, self.dtype).reshape(self._space.shape)
+            if getattr(self._operator, "padded_layout", False):
+                p = self._operator.to_padded(p)
+            self._y = self._place(FspVector(p=p, sinks=sinks_old))
+        self._ode_solver = None
 
     def pad_quanta_for_space(self) -> np.ndarray:
         pad_quanta = np.ones(self.model.num_species, np.int64)
@@ -378,6 +443,15 @@ class FspSolverMultiSinks:
         p_vals = self._space.extract_valid(p_dev)   # host, states() order
         sinks_old = self._y.sinks
         self._backend_used = "ell"
+        if getattr(self, "_axis_inv", None) is not None:
+            # leave the box's internal species order: the ELL backend
+            # works in user order (no layout concerns there)
+            states = states[:, self._axis_inv]
+            self.constraints = self._user_constraints.with_bounds(
+                self.constraints.bounds)
+            self._int_model = None
+            self._int_init = None
+            self._axis_inv = None
         self._space = StateSet(self.model.stoichiometry, self.constraints,
                                init_states=states)
         self._space.expand()
@@ -413,8 +487,55 @@ class FspSolverMultiSinks:
         self._set_up = True
         return self
 
+    @property
+    def _model_int(self):
+        """Model in the box backend's internal species order (see
+        :mod:`..statespace.permute`); the user's model elsewhere."""
+        return getattr(self, "_int_model", None) or self.model
+
+    @property
+    def _init_int(self):
+        return (self._int_init if getattr(self, "_int_init", None)
+                is not None else self._init_states)
+
+    def _setup_axis_order(self):
+        """Reorder the box species axes by descending extent so the
+        fused kernel's flat-shift halo (stride of the first shifted axis
+        = n / shape[0]) stays within the tile budget, and the trailing
+        dims stay large for XLA's (8, 128) tiling.  hog1p's 4-state gene
+        axis leading a 28^4 box put every gene reaction's halo at n/4
+        (kernel rejected) and tile-padded the XLA fallback 5.2x (measured
+        10.4 GB for ONE BDF basis buffer).  Ordering is free: box
+        position is pure layout, and the reference's sparse rows have no
+        analogue of this concern."""
+        from ..statespace.permute import (choose_axis_order, permute_model,
+                                          permute_constraints)
+        if getattr(self, "_axis_inv", None) is not None:
+            # un-permute a previous solve's internal constraint set so
+            # re-setup never double-wraps the user callables
+            self.constraints = self._user_constraints.with_bounds(
+                self.constraints.bounds)
+        self._int_model = None
+        self._int_init = None
+        self._axis_inv = None
+        box_b = self.constraints.derive_box_bounds(
+            self.model.num_species, self._init_states)
+        order = choose_axis_order(np.asarray(box_b) + 1)
+        if order is None:
+            return
+        self._axis_order = order
+        self._axis_inv = np.argsort(order)
+        self._user_constraints = self.constraints
+        self._int_model = permute_model(self.model, order)
+        self.constraints = permute_constraints(
+            self.constraints, order, self.model.num_species)
+        self._int_init = self._init_states[:, order]
+        if self.verbosity:
+            print(f"[fsp] box axis order (by extent): {order.tolist()}")
+
     def _build_space(self):
         if self._backend_used == "box":
+            self._setup_axis_order()
             pad_quanta = None
             if self.mesh is not None:
                 # make axis 0 divisible by the mesh size: it is the shard
@@ -446,8 +567,22 @@ class FspSolverMultiSinks:
                 on_dev = True
                 if self.constraints.fn is None:
                     growable = self.constraints.expansion_factors > 0
-            self._space = BoxStateSpace(self.model.stoichiometry,
-                                        self.constraints, self._init_states,
+                else:
+                    # custom constraints: an axis is growable iff growing
+                    # every growable bound actually moves its box extent
+                    # (e.g. hog1p's gene axis is capped at 3 by a
+                    # zero-factor bound — water-filling it wastes an 8x
+                    # slab of every vector)
+                    cs = self.constraints
+                    box1 = cs.derive_box_bounds(self.model.num_species,
+                                                self._init_int)
+                    grown = cs.with_bounds(cs.expanded_bounds(
+                        cs.expansion_factors > 0))
+                    box2 = grown.derive_box_bounds(self.model.num_species,
+                                                   self._init_int)
+                    growable = box2 > box1
+            self._space = BoxStateSpace(self._model_int.stoichiometry,
+                                        self.constraints, self._init_int,
                                         pad_quanta=pad_quanta,
                                         prealloc_budget=prealloc,
                                         growable_axes=growable,
@@ -513,7 +648,7 @@ class FspSolverMultiSinks:
             # shell arrays keep monotone shapes (fewer re-jits)
             floor = getattr(self._operator, "sink_m_pad", 0) \
                 if self._operator is not None else 0
-            self._operator = BoxOperator(self.model, self._space,
+            self._operator = BoxOperator(self._model_int, self._space,
                                          dtype=self.dtype,
                                          use_pallas=self._pallas_mode,
                                          sink_m_floor=floor,
@@ -542,7 +677,9 @@ class FspSolverMultiSinks:
             self.events.add_count("HaloValuesPerMatvec", int(comm()))
 
     def _initial_vector(self) -> FspVector:
-        idx = self._space.state2index(self._init_states)
+        idx = self._space.state2index(
+            self._init_int if self._backend_used == "box"
+            else self._init_states)
         if (idx < 0).any():
             raise StateSpaceError(
                 "initial states outside the FSP state space")
@@ -649,6 +786,20 @@ class FspSolverMultiSinks:
                 self._migrate_box_to_ell()
         p_old, sinks_old = self._y.p, self._y.sinks
         n_before = self._space.num_states
+        if self._backend_used == "box" and \
+                self._box_reorder_needed(new_bounds):
+            # anisotropic growth made the setup-time axis order stale
+            # enough that this capacity rebuild would lose the fused
+            # kernel (halo = n/shape[0] outgrowing the tile budget):
+            # rebuild the space in the fresh descending-extent order and
+            # scatter the solution by state identity.  Only capacity
+            # outgrowth triggers this — it pays the recompile anyway.
+            with self.events.timed(EVT_PARTITION):
+                self._rebuild_box_reordered(new_bounds, n_before,
+                                            to_expand)
+            if self.verbosity:
+                print(f"[fsp] new state count: {self.num_states}")
+            return
         with self.events.timed(EVT_PARTITION):
             if self._backend_used == "box":
                 old_shape = self._space.shape
@@ -931,6 +1082,8 @@ class FspSolverMultiSinks:
     def _make_distribution(self) -> DiscreteDistribution:
         if self._backend_used == "box":
             states = self._space.states()
+            if getattr(self, "_axis_inv", None) is not None:
+                states = states[:, self._axis_inv]   # back to user order
             p_dev = self._y.p
             if p_dev.ndim == 1:        # padded layout -> box for extraction
                 p_dev = self._operator.from_padded(p_dev)

@@ -78,8 +78,9 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
         (src/SensFsp/SensFspSolverMultiSinks.cpp:333-422)."""
         if self._backend_used == "box":
             self._operator = SensOperator(
-                self.model, self._space, BoxOperator, dtype=self.dtype,
-                use_pallas=self._pallas_mode, mesh=self.mesh)
+                self._model_int, self._space, BoxOperator,
+                dtype=self.dtype, use_pallas=self._pallas_mode,
+                mesh=self.mesh)
         elif self.mesh is not None:
             from ..parallel.halo_ell import ShardedEllOperator
 
@@ -94,7 +95,9 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
         self._ode_solver = None     # operator identity/shapes changed
 
     def _initial_vector(self) -> SensFspVector:
-        idx = self._space.state2index(self._init_states)
+        idx = self._space.state2index(
+            self._init_int if self._backend_used == "box"
+            else self._init_states)
         if (idx < 0).any():
             raise StateSpaceError("initial states outside the FSP space")
         n_c = self.constraints.num_constraints
@@ -215,6 +218,8 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
         n_par = self.model.num_parameters
         if self._backend_used == "box":
             states = self._space.states()
+            if getattr(self, "_axis_inv", None) is not None:
+                states = states[:, self._axis_inv]   # back to user order
             p = self._space.extract_valid(self._y.p)
             dp = np.stack([self._space.extract_valid(self._y.s[j])
                            for j in range(n_par)]) if n_par else None

@@ -53,15 +53,20 @@ def layout2d_adapter(y0):
     the appends run in place (<1 ms).  The reshape pairs wrapped around
     the operator's matvec cancel in XLA's algebraic simplifier.
 
-    Returns ``(y0_2d, to2d, restore)``; leaves that are not flat
-    128-multiples (box-shaped arrays, small sink vectors) pass through
-    untouched.
+    Box-shaped (N-d) leaves flatten too: stacking them into [m, *shape]
+    history/basis buffers tile-pads the trailing two dims — measured 5.2x
+    (10.4 GB for ONE 31-deep BDF basis on hog1p's 28^4-box, an OOM) when
+    the trailing extents are far from (8, 128).  Small leaves (sink
+    vectors, scalars) pass through untouched.
+
+    Returns ``(y0_2d, to2d, restore)``.
     """
     leaves0, treedef = jax.tree_util.tree_flatten(y0)
     orig_shapes = [l.shape for l in leaves0]
 
     def _to2d(leaf):
-        if leaf.ndim == 1 and leaf.size >= 1024 and leaf.size % 128 == 0:
+        if leaf.ndim >= 1 and leaf.size >= 1024 and leaf.size % 128 == 0 \
+                and leaf.shape[-2:] != (leaf.size // 128, 128):
             return leaf.reshape(-1, 128)
         return leaf
 

@@ -228,8 +228,21 @@ class BoxStateSpace:
     def _prealloc_shape(self, raw_shape) -> tuple:
         """Water-filled capacity: all growable axes share a common cap C,
         chosen (binary search) so the box fills — but does not exceed —
-        the element budget; non-growable axes stay at their ladder size.
-        Monotone over the existing allocation."""
+        the element target; non-growable axes stay at their ladder size.
+        Monotone over the existing allocation.
+
+        The target is ``min(budget, need * HEADROOM)`` rather than the
+        whole budget: filling the full budget guaranteed ONE compile for
+        the whole adaptive solve but ran every matvec and basis-vector op
+        at the budget size regardless of need (the flagship's 3.9M-state
+        final box computed on a 32M-element allocation — measured ~72% of
+        the advance loop).  With 8x headroom the capacity tracks need
+        within a factor of 8 (one recompile per ~8x element growth, a
+        handful per solve, absorbed by the persistent compile cache on
+        repeat runs) while matvec cost stays within ~8x of optimal —
+        against ~20-40 s per avoided rung through a cold tunnel compile,
+        but only ~2x mean matvec overhead.  PACMENSL_BOX_HEADROOM=0
+        restores fill-the-budget."""
         ext = np.maximum(np.asarray(raw_shape, np.int64),
                          np.asarray(self._shape or [0] * len(raw_shape),
                                     np.int64))
@@ -241,20 +254,30 @@ class BoxStateSpace:
                 _round_capacity(max(int(e), C if g else 0), int(q))
                 for e, g, q in zip(ext, grow, self.pad_quanta))
 
-        if float(np.prod(np.asarray(dims_for(1), np.float64))) > budget:
+        need = float(np.prod(np.asarray(dims_for(1), np.float64)))
+        if need > budget:
             raise StateSpaceError(
                 f"FSP box extents {tuple(int(e) for e in ext)} exceed the "
                 f"preallocation budget {budget:.3g} elements — use the "
                 "compressed backend or raise PACMENSL_BOX_MEM_BUDGET.")
+        headroom = float(os.environ.get("PACMENSL_BOX_HEADROOM", "8"))
+        target = budget
+        if headroom > 0:
+            prev = float(np.prod(np.asarray(
+                self._shape or [0], np.float64)))
+            target = min(budget, max(need * headroom, prev))
         lo, hi = 1, int(max(ext)) + int(budget)
-        while lo < hi:                      # largest C within budget
+        while lo < hi:                      # largest C within target
             mid = (lo + hi + 1) // 2
             if float(np.prod(np.asarray(dims_for(mid), np.float64))) \
-                    <= budget:
+                    <= target:
                 lo = mid
             else:
                 hi = mid - 1
-        return dims_for(lo)
+        dims = np.asarray(dims_for(lo), np.int64)
+        if self._shape is not None:         # monotone: never shrink
+            dims = np.maximum(dims, np.asarray(self._shape, np.int64))
+        return tuple(int(d) for d in dims)
 
     def _build_once(self):
         box_bounds = self.constraints.derive_box_bounds(
