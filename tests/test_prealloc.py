@@ -16,31 +16,50 @@ from pacmensl_tpu.statespace.box_space import BoxStateSpace
 from pacmensl_tpu.statespace.constraints import ConstraintSet
 
 
-def test_waterfill_capacity_and_incremental_bfs():
+def test_waterfill_capacity_and_incremental_bfs(monkeypatch):
     b = pm.models.repressilator()
     cs = ConstraintSet(b.constraint, b.bounds, b.expansion_factors)
+    # headroom 0 = round-3 fill-the-budget policy (one compile, max cap)
+    monkeypatch.setenv("PACMENSL_BOX_HEADROOM", "0")
+    sp_full = BoxStateSpace(b.model.stoichiometry, cs, b.x0,
+                            prealloc_budget=2.0e5, build_on_device=True)
+    assert sp_full.size <= 2.0e5
+    # growable axes share a common water-filled cap
+    assert len(set(sp_full.shape)) == 1
+
+    # default headroom: capacity targets need * 8, not the whole budget
+    monkeypatch.delenv("PACMENSL_BOX_HEADROOM", raising=False)
     sp = BoxStateSpace(b.model.stoichiometry, cs, b.x0,
                        prealloc_budget=2.0e5, build_on_device=True)
     assert sp.size <= 2.0e5
-    # growable axes share a common water-filled cap
-    assert len(set(sp.shape)) == 1
-    shape0 = sp.shape
+    assert sp.size < sp_full.size, \
+        "headroom target should allocate below the full budget"
     n0 = sp.num_states
 
-    # several expansion epochs within capacity: shape stable, mask grows,
-    # and every epoch's mask equals a from-scratch ladder build
+    # several expansion epochs: fill-budget capacity stays put, headroom
+    # capacity may climb its rungs monotonically, and EVERY epoch's mask
+    # (incremental BFS) equals a from-scratch ladder build on both
+    shape_full0 = sp_full.shape
+    prev_shape = sp.shape
     bounds = np.asarray(b.bounds)
     for _ in range(3):
         bounds = ConstraintSet(b.constraint, bounds,
                                b.expansion_factors).expanded_bounds(
                                    np.ones(len(bounds), bool))
         sp.set_bounds(bounds)
-        assert sp.shape == shape0, "capacity must not move within budget"
+        sp_full.set_bounds(bounds)
+        assert sp_full.shape == shape_full0, \
+            "fill-budget capacity must not move within budget"
+        assert all(a >= b_ for a, b_ in zip(sp.shape, prev_shape)), \
+            "headroom capacity must be monotone"
+        prev_shape = sp.shape
         ref = BoxStateSpace(
             b.model.stoichiometry,
             ConstraintSet(b.constraint, bounds, b.expansion_factors), b.x0)
-        assert sp.num_states == ref.num_states
-        assert set(map(tuple, sp.states())) == set(map(tuple, ref.states()))
+        for s_chk in (sp, sp_full):
+            assert s_chk.num_states == ref.num_states
+            assert set(map(tuple, s_chk.states())) == \
+                set(map(tuple, ref.states()))
     assert sp.num_states > n0
 
 
