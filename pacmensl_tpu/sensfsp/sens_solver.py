@@ -134,6 +134,14 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
         y = self._y
         n_before = self._space.num_states
         from ..sys.events import EVT_PARTITION
+        if self._backend_used == "box" and \
+                self._box_reorder_needed(new_bounds):
+            with self.events.timed(EVT_PARTITION):
+                self._rebuild_box_reordered(new_bounds, n_before,
+                                            to_expand)
+            if self.verbosity:
+                print(f"[sensfsp] new state count: {self.num_states}")
+            return
         with self.events.timed(EVT_PARTITION):
             if self._backend_used == "box":
                 old_shape = self._space.shape
@@ -195,6 +203,52 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
                 self._y = self._place(self._y)
         if self.verbosity:
             print(f"[sensfsp] new state count: {self.num_states}")
+
+    def _rebuild_box_reordered(self, new_bounds, n_before,
+                               to_expand) -> None:
+        """Sens variant of the parent's capacity-growth axis reorder:
+        p AND every sensitivity scatter through the same state-identity
+        map (reference: one ExpandVec map for all vectors,
+        SensFspSolverMultiSinks.cpp:397-402)."""
+        from ..sys.events import EVT_SCATTER
+        space_old = self._space
+        y = self._y
+        p_vals = space_old.extract_valid(y.p)
+        s_vals = np.stack([space_old.extract_valid(y.s[j])
+                           for j in range(y.s.shape[0])]) \
+            if y.s.shape[0] else None
+        states_int = space_old.states()
+        inv1 = getattr(self, "_axis_inv", None)
+        states_user = states_int if inv1 is None else states_int[:, inv1]
+        if inv1 is not None:
+            self.constraints = self._user_constraints.with_bounds(
+                new_bounds)
+        else:
+            self.constraints = self.constraints.with_bounds(new_bounds)
+        with self.events.timed(EVT_MATGEN):
+            self._build_space()
+            self._escalate_if_stuck(n_before, to_expand)
+            self._build_operator()
+        with self.events.timed(EVT_SCATTER):
+            s_int = (states_user if getattr(self, "_axis_inv", None)
+                     is None else states_user[:, self._axis_order])
+            idx = self._space.state2index(s_int)
+            if (idx < 0).any():
+                raise StateSpaceError(
+                    "reordered box lost states (reachability regression)")
+            n_par = y.s.shape[0]
+            p_new = np.zeros(self._space.size, dtype=np.float64)
+            p_new[idx] = p_vals
+            s_new = np.zeros((n_par, self._space.size), dtype=np.float64)
+            if s_vals is not None:
+                s_new[:, idx] = s_vals
+            shape = self._space.shape
+            self._y = self._place(SensFspVector(
+                p=jnp.asarray(p_new, self.dtype).reshape(shape),
+                sinks=y.sinks,
+                s=jnp.asarray(s_new, self.dtype).reshape((n_par,) + shape),
+                ssinks=y.ssinks))
+        self._ode_solver = None
 
     def _place(self, y):
         if self.mesh is None or not isinstance(y, SensFspVector):

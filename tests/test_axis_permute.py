@@ -123,3 +123,52 @@ def test_mid_solve_reorder_on_anisotropic_growth():
     tv = 0.5 * sum(abs(float(p) - m[tuple(x)])
                    for x, p in zip(d1.states, d1.p))
     assert tv < 5e-7, tv
+
+
+def test_sens_mid_solve_reorder_matches_unpermuted():
+    """The sens driver's reorder rebuild must carry p AND dp through the
+    same state-identity map (reference ExpandVec semantics)."""
+    import jax.numpy as jnp
+    from pacmensl_tpu.models.model import SensModel
+    from pacmensl_tpu.sensfsp.sens_solver import SensFspSolverMultiSinks
+
+    stoich = np.array([[1, 0], [-1, 0], [0, 1], [0, -1]])
+    kb = 6.0
+
+    def prop(x, r):
+        xf = x.astype(jnp.float32) if hasattr(x, "astype") else x
+        if r == 0:
+            return 0.3 * jnp.ones_like(xf[:, 0])
+        if r == 1:
+            return 0.5 * xf[:, 0]
+        if r == 2:
+            return kb * jnp.ones_like(xf[:, 1])
+        return 0.4 * xf[:, 1]
+
+    def d_prop(x, j, r):
+        xf = x.astype(jnp.float32) if hasattr(x, "astype") else x
+        if j == 0 and r == 2:          # d/d kb
+            return jnp.ones_like(xf[:, 1])
+        return jnp.zeros_like(xf[:, 0])
+
+    m = SensModel(stoich, prop, num_parameters=1, d_propensity=d_prop,
+                  dprop_sparsity=((2,),), d_t_coeff=None,
+                  dtcoef_sparsity=())
+
+    def run(backend):
+        s = SensFspSolverMultiSinks(backend=backend, odes_type="krylov")
+        s.set_model(m)
+        s.set_initial_bounds([12, 4])
+        s.set_expansion_factors([0.0, 0.6])
+        s.set_initial_distribution(np.array([[0, 0]]), np.array([1.0]))
+        return s, s.solve(6.0, 1e-6)
+
+    s_box, d1 = run("box")
+    assert d1.bounds[1] > 12
+    assert getattr(s_box, "_axis_inv", None) is not None
+    _, d2 = run("ell")
+    key = {tuple(x): i for i, x in enumerate(map(tuple, d2.states))}
+    idx = np.array([key[tuple(x)] for x in d1.states])
+    np.testing.assert_allclose(d1.p, d2.p[idx], rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(d1.dp[0], d2.dp[0][idx],
+                               rtol=1e-4, atol=1e-8)
