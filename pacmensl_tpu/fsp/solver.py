@@ -299,10 +299,12 @@ class FspSolverMultiSinks:
             vecs = self.krylov_dim_range[1] + 2
         else:
             # BDF: GMRES basis (restart+1) + Nordsieck history (q_max+3)
-            # + predictor/corrector work vectors.  16 was measured 2.2 GB
-            # short on a 125M-element hog1p box (XLA 'Used 17.93G of
-            # 15.75G hbm') — the live set is ~45 box vectors.
-            vecs = 48
+            # + predictor/corrector work vectors (+ safety margin; 16 was
+            # measured 2.2 GB short on a 125M-element hog1p box: XLA
+            # 'Used 17.93G of 15.75G hbm')
+            from ..solvers.bdf import BdfSolver
+            restart = BdfSolver.__init__.__kwdefaults__["gmres_restart"]
+            vecs = restart + 1 + 8 + 11
         return mem / (vecs * np.dtype(self.dtype).itemsize)
 
     def _choose_backend(self) -> str:
@@ -345,34 +347,57 @@ class FspSolverMultiSinks:
         cs_new = self.constraints.with_bounds(new_bounds)
         box = cs_new.derive_box_bounds(self.model.num_species,
                                        self._init_int)
-        from ..statespace.box_space import _round_capacity, MAX_BOX_ELEMS
-        # monotone capacity estimate: axes already allocated larger than
-        # the new extent keep their capacity (preallocated spaces sit at
-        # the full budget by design — growth within caps is free)
-        cur = np.asarray(self._space.shape, np.int64)
-        need = np.maximum(cur, [
-            _round_capacity(int(b) + 1, int(q))
-            for b, q in zip(box, self.pad_quanta_for_space())])
-        cap = float(np.prod(need.astype(np.float64)))
+        from ..statespace.box_space import (_round_capacity, _round_fine,
+                                            MAX_BOX_ELEMS)
+        # FRESH-build estimate (no clamp to the current, possibly
+        # headroom-inflated allocation): a capacity-outgrow event may
+        # rebuild the space from scratch (_rebuild_box_reordered), which
+        # resets the padding — so the box backend stays viable as long as
+        # the minimum fresh capacity of the new bounds fits the budget.
+        # (The old monotone estimate migrated hog1p at t=136 with 87%
+        # box fill because its 8x-headroom capacity crossed the budget,
+        # pushing a box-perfect problem onto the compressed backend.)
+        rnd = (_round_fine if getattr(self._space, "prealloc_budget",
+                                      None) is not None
+               else _round_capacity)
+        need = [rnd(int(b) + 1, int(q))
+                for b, q in zip(box, self.pad_quanta_for_space())]
+        cap = float(np.prod(np.asarray(need, np.float64)))
         if cap > min(float(MAX_BOX_ELEMS), self._box_elem_budget()):
             return True
         n = self._space.num_states
         return n > 5.0e5 and n < 0.015 * self._space.size
 
     def _box_reorder_needed(self, new_bounds) -> bool:
-        """True when the grown bounds outgrow the box capacity AND the
-        extents are no longer in descending internal order — the event
-        where keeping the stale order would rebuild at a layout that
-        degrades or loses the fused kernel."""
+        """True when the grown bounds outgrow the box capacity AND either
+        (a) the extents are no longer in descending internal order (a
+        stale order would rebuild at a layout that degrades or loses the
+        fused kernel), or (b) the monotone same-order regrowth would
+        overflow the element budget while a FRESH build fits — the
+        rebuild then sheds the earlier rungs' headroom padding."""
         if self._backend_used != "box":
             return False
         from ..statespace.permute import choose_axis_order
+        from ..statespace.box_space import (_round_capacity, _round_fine,
+                                            MAX_BOX_ELEMS)
         box = self.constraints.with_bounds(new_bounds).derive_box_bounds(
             self.model.num_species, self._init_int)
         ext = np.asarray(box, np.int64) + 1
         if all(int(e) <= int(c) for e, c in zip(ext, self._space.shape)):
             return False        # within capacity: no rebuild, no concern
-        return choose_axis_order(ext) is not None
+        if choose_axis_order(ext) is not None:
+            return True
+        quanta = self.pad_quanta_for_space()
+        budget = min(float(MAX_BOX_ELEMS), self._box_elem_budget())
+        rnd = (_round_fine if getattr(self._space, "prealloc_budget",
+                                      None) is not None
+               else _round_capacity)
+        clamped = [max(rnd(int(e), int(q)), int(c))
+                   for e, q, c in zip(ext, quanta, self._space.shape)]
+        fresh = [rnd(int(e), int(q))
+                 for e, q in zip(ext, quanta)]
+        return (float(np.prod(np.asarray(clamped, np.float64))) > budget
+                >= float(np.prod(np.asarray(fresh, np.float64))))
 
     def _rebuild_box_reordered(self, new_bounds, n_before,
                                to_expand) -> None:

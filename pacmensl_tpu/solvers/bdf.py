@@ -72,7 +72,7 @@ class BdfSolver:
                  *,
                  rtol: Optional[float] = None,
                  atol: float = 1.0e-14,
-                 gmres_restart: int = 30,
+                 gmres_restart: int = 16,
                  gmres_tol: Optional[float] = None,
                  max_steps: int = 10_000_000,
                  stop_check: Optional[StopCheck] = None,

@@ -86,6 +86,18 @@ def _round_capacity(n: int, quantum: int = 1) -> int:
     return -(-c // q) * q
 
 
+def _round_fine(n: int, quantum: int = 1) -> int:
+    """Fine-grained axis rounding for BUDGETED preallocation: lcm(8, q)
+    multiples.  The x1.5 ladder compounds to ~5x element inflation over
+    4 growable axes — redundant there, because recompile frequency is
+    already governed by the element-level HEADROOM target (x8), not by
+    per-axis rungs.  (The lazy/CPU path keeps the ladder.)"""
+    import math
+    q = max(int(quantum), 1)
+    m = 8 * q // math.gcd(8, q) if int(n) > 32 else q
+    return max(-(-int(n) // m) * m, m)
+
+
 #: Hard cap on box-backend capacity (elements).  A runaway expansion should
 #: fail with a diagnosable StateSpaceError, not an opaque device OOM — the
 #: Krylov integrator keeps ~m_max basis vectors alive, so usable box sizes
@@ -251,7 +263,7 @@ class BoxStateSpace:
 
         def dims_for(C):
             return tuple(
-                _round_capacity(max(int(e), C if g else 0), int(q))
+                _round_fine(max(int(e), C if g else 0), int(q))
                 for e, g, q in zip(ext, grow, self.pad_quanta))
 
         need = float(np.prod(np.asarray(dims_for(1), np.float64)))
