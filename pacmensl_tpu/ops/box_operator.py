@@ -303,8 +303,16 @@ class BoxOperator:
             mask_f = jnp.asarray(
                 self.space.mask_host.astype(jnp.dtype(self.dtype)))
         kern = getattr(self, "_pallas", None)
-        mask_p2 = (kern.pad2(mask_f) if self.padded_layout
-                   and not kern.synth_mask else None)
+        if self.padded_layout:
+            # Store the mask in the kernel's flat [rows_pad, 128] layout:
+            # box-shaped epoch data whose trailing dims are far from
+            # (8, 128) tile-pads catastrophically on TPU — measured 32x
+            # (4.69 GB per copy) on hog1p's (..., 56, 4) box, an OOM.
+            # The padded kernel only ever reads this layout anyway.
+            mask_f = kern.pad2(mask_f)
+            mask_p2 = None
+        else:
+            mask_p2 = None
         self._data = BoxOpData(mask_f=mask_f, bounds=jnp.asarray(bounds_np),
                                sink_idx=sink_idx, sink_val=sink_val,
                                sink_rid=sink_rid, mask_p2=mask_p2)
@@ -373,7 +381,12 @@ class BoxOperator:
 
     @property
     def mask_f(self) -> jnp.ndarray:
-        return self.data().mask_f
+        """Box-shaped validity mask (the epoch data stores it flat when
+        the padded kernel is active — see refresh_data)."""
+        m = self.data().mask_f
+        if m.ndim == 2 and m.shape[-1] == 128:
+            return self.from_padded(m.reshape(-1))
+        return m
 
     # ---------------------------------------------------------- assembly
     def _propensity_field(self, r: int) -> jnp.ndarray:
@@ -410,6 +423,8 @@ class BoxOperator:
         p = y.p
         c = self.model.coefficients(t, self.dtype)
 
+        if self.padded_layout and data.mask_f.ndim == 2:
+            mask_f = None          # flat-stored; only pad2 layouts exist
         if (p.ndim == 1 and self.padded_layout
                 and p.shape[0] == self._pallas.n_pad):
             # padded fast path: p is the flat zero-padded [n_pad] vector in
@@ -424,7 +439,11 @@ class BoxOperator:
             c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
                                 self.dtype)
             p2 = p.reshape(-1, 128)
-            dp2, ks = kern.call_padded(c_sel, data.bounds, p2, data.mask_p2)
+            m2 = None
+            if not kern.synth_mask:
+                m2 = (data.mask_f if data.mask_f.ndim == 2
+                      else data.mask_p2)
+            dp2, ks = kern.call_padded(c_sel, data.bounds, p2, m2)
             dp = dp2.reshape(p.shape)
             if ks is not None:
                 return FspVector(p=dp, sinks=ks.astype(y.sinks.dtype))
@@ -433,6 +452,8 @@ class BoxOperator:
         if self._pallas is not None:
             c_sel = jnp.asarray([c[r] for r in self.enable_reactions],
                                 self.dtype)
+            if mask_f is None and data.mask_f.ndim == 2:
+                mask_f = self.from_padded(data.mask_f.reshape(-1))
             dp, ks = self._pallas(c_sel, data.bounds, p, mask_f)
             if ks is not None:
                 return FspVector(p=dp, sinks=ks.astype(y.sinks.dtype))
@@ -473,11 +494,13 @@ class BoxOperator:
         stationary solver's rank-one completion)."""
         if data is None:
             data = self.data()
+        mask_f = (self.from_padded(data.mask_f.reshape(-1))
+                  if data.mask_f.ndim == 2 else data.mask_f)
         c = self.model.coefficients(t, self.dtype)
         out = jnp.zeros(self.shape, self.dtype)
         for k, r in enumerate(self.enable_reactions):
             a_r = (self._prop_fields[k] if self._prop_fields is not None
-                   else self._propensity_field(r)) * data.mask_f
+                   else self._propensity_field(r)) * mask_f
             out = out - c[r] * a_r
         return out
 

@@ -64,10 +64,25 @@ class _PermCols:
 
 
 def choose_axis_order(box_extents) -> Optional[np.ndarray]:
-    """Stable descending-extent order; None when already optimal."""
+    """Axis order minimizing both kernel halo and tile padding; None
+    when the current order already matches.
+
+    Two layout costs pull on the order: the fused kernel's halo is
+    stride_0 = n / shape[0] (wants the LARGEST extent first), and any
+    box-shaped device array tile-pads its trailing two dims toward
+    (8, 128) — f32 — or (32, 128) — bool/int8 (wants the trailing dims
+    as large as possible; a 4-extent gene axis last measured 32x f32
+    padding).  Assignment: largest extent -> axis 0, second and third
+    largest -> the last two axes (second-largest in the 128-lane slot),
+    the rest (smallest extents) in the middle."""
     ext = np.asarray(box_extents, dtype=np.int64)
-    order = np.argsort(-ext, kind="stable")
-    if (order == np.arange(ext.shape[0])).all():
+    S = ext.shape[0]
+    idx = np.argsort(-ext, kind="stable")
+    if S <= 2:
+        order = idx
+    else:
+        order = np.concatenate([idx[:1], idx[3:], idx[2:3], idx[1:2]])
+    if (order == np.arange(S)).all():
         return None
     return order
 

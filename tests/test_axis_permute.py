@@ -19,10 +19,14 @@ from pacmensl_tpu.statespace.constraints import ConstraintSet
 
 
 def test_choose_axis_order():
-    assert choose_axis_order([5, 3, 2]) is None          # already sorted
-    np.testing.assert_array_equal(choose_axis_order([2, 9, 4]), [1, 2, 0])
+    # largest first (halo), next-two largest in the trailing tile dims
+    assert choose_axis_order([5, 2, 3]) is None          # already optimal
+    np.testing.assert_array_equal(choose_axis_order([2, 9, 4]), [1, 0, 2])
     # stable on ties
-    np.testing.assert_array_equal(choose_axis_order([3, 7, 7]), [1, 2, 0])
+    np.testing.assert_array_equal(choose_axis_order([3, 7, 7]), [1, 0, 2])
+    # 5 species: smallest extents land in the middle
+    np.testing.assert_array_equal(
+        choose_axis_order([4, 50, 60, 40, 45]), [2, 3, 0, 4, 1])
 
 
 def test_permuted_model_and_constraints_evaluate_identically():
