@@ -141,8 +141,16 @@ def max_flat_shift(stoichiometry, shape, enable_reactions) -> int:
 def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int,
               stoichiometry=None, enable_reactions=None) -> bool:
     """Kernel eligibility: either the whole box fits the single-block
-    budget, or every stencil shift fits inside the largest tile window."""
-    if _prod(shape) * jnp.dtype(dtype).itemsize <= VMEM_BUDGET:
+    live-set budget, or every stencil shift fits inside the largest tile
+    window (the same live-set estimate as the tiling decision — a box
+    passing a raw-size test but routed to tiled mode must still clear
+    the halo check)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    live = len(shape) + 12
+    rows = -(-_prod(shape) // LANES)
+    single_rows = min(VMEM_BUDGET // (LANES * itemsize),
+                      int(0.9 * VMEM_LIMIT) // (live * LANES * itemsize))
+    if rows <= single_rows:
         return True
     if stoichiometry is None:
         return False
@@ -252,7 +260,16 @@ class PallasBoxKernel:
         self.strides = [
             _prod(self.shape[d + 1:]) for d in range(nd)]
         # --- tiling decision -------------------------------------------
-        single_rows = VMEM_BUDGET // (LANES * jnp.dtype(dtype).itemsize)
+        # Peak live VMEM in the single-block kernel scales with the
+        # problem: S coordinate fields + p + mask/synth chain + acc +
+        # ~8 reaction/shift temps.  hog1p (S=5, R=9, 7 constraints)
+        # measured 127.09M scoped VMEM at 10 assumed buffers — the
+        # eligibility row cap now uses the live-set estimate directly.
+        live = len(self.shape) + 12
+        single_rows = min(
+            VMEM_BUDGET // (LANES * jnp.dtype(dtype).itemsize),
+            int(0.9 * VMEM_LIMIT) // (live * LANES *
+                                      jnp.dtype(dtype).itemsize))
         if self.rows <= single_rows:
             self.tile_rows = self.rows            # single block, no halo
             self.grid = 1
