@@ -435,8 +435,34 @@ class FspSolverMultiSinks:
                      is None else states_user[:, self._axis_order])
             idx = self._space.state2index(s_int)
             if (idx < 0).any():
+                # The fresh init-seeded BFS missed some previously-held
+                # states (e.g. a constraint shape whose corner probe
+                # under-covers, or reachability that needed the old
+                # frontier).  Rebuild ONCE with the old states as extra
+                # BFS seeds — coverage is then by construction.
+                lost = s_int[idx < 0]
+                if self.verbosity:
+                    print(f"[fsp] reorder rebuild missed "
+                          f"{lost.shape[0]} states; re-seeding BFS with "
+                          "the previous state set")
+                with self.events.timed(EVT_MATGEN):
+                    self._build_space(extra_seeds=s_int)
+                    self._operator = None
+                    self._build_operator()
+                    if self._operator.sink_m_pad < floor:
+                        self._operator.sink_m_pad = floor
+                s_int = (states_user
+                         if getattr(self, "_axis_inv", None) is None
+                         else states_user[:, self._axis_order])
+                idx = self._space.state2index(s_int)
+            if (idx < 0).any():
+                bad = s_int[idx < 0][:3]
+                vals = np.asarray(self.constraints.values(bad))
                 raise StateSpaceError(
-                    "reordered box lost states (reachability regression)")
+                    "reordered box lost states even with re-seeded BFS: "
+                    f"{int((idx < 0).sum())} lost; sample {bad.tolist()} "
+                    f"scores {vals.tolist()} vs bounds "
+                    f"{self.constraints.bounds.tolist()}")
             p_new = np.zeros(self._space.size, dtype=np.float64)
             p_new[idx] = p_vals
             p = jnp.asarray(p_new, self.dtype).reshape(self._space.shape)
@@ -558,7 +584,11 @@ class FspSolverMultiSinks:
         if self.verbosity:
             print(f"[fsp] box axis order (by extent): {order.tolist()}")
 
-    def _build_space(self):
+    def _build_space(self, extra_seeds=None):
+        """``extra_seeds``: additional BFS seed states in the (new)
+        internal species order — the reorder rebuild passes the previous
+        space's states so the fresh reachability closure provably covers
+        them (and the box derives large enough to hold them)."""
         if self._backend_used == "box":
             self._setup_axis_order()
             pad_quanta = None
@@ -606,8 +636,10 @@ class FspSolverMultiSinks:
                     box2 = grown.derive_box_bounds(self.model.num_species,
                                                    self._init_int)
                     growable = box2 > box1
+            seeds = (self._init_int if extra_seeds is None
+                     else np.vstack([self._init_int, extra_seeds]))
             self._space = BoxStateSpace(self._model_int.stoichiometry,
-                                        self.constraints, self._init_int,
+                                        self.constraints, seeds,
                                         pad_quanta=pad_quanta,
                                         prealloc_budget=prealloc,
                                         growable_axes=growable,

@@ -234,8 +234,19 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
                      is None else states_user[:, self._axis_order])
             idx = self._space.state2index(s_int)
             if (idx < 0).any():
+                # coverage fallback: re-seed the fresh BFS with the old
+                # state set (see the transient driver's variant)
+                with self.events.timed(EVT_MATGEN):
+                    self._build_space(extra_seeds=s_int)
+                    self._build_operator()
+                s_int = (states_user
+                         if getattr(self, "_axis_inv", None) is None
+                         else states_user[:, self._axis_order])
+                idx = self._space.state2index(s_int)
+            if (idx < 0).any():
                 raise StateSpaceError(
-                    "reordered box lost states (reachability regression)")
+                    "reordered box lost states even with re-seeded BFS "
+                    f"({int((idx < 0).sum())} lost)")
             n_par = y.s.shape[0]
             p_new = np.zeros(self._space.size, dtype=np.float64)
             p_new[idx] = p_vals
