@@ -638,12 +638,25 @@ class FspSolverMultiSinks:
                     growable = box2 > box1
             seeds = (self._init_int if extra_seeds is None
                      else np.vstack([self._init_int, extra_seeds]))
+            minor_limit = None
+            if prealloc is not None and self._pallas_mode is not False:
+                # keep prod(shape[1:]) under the fused kernel's halo
+                # budget (halo = axis-0 stride; beyond MAX_TILE_ROWS the
+                # kernel drops out and the XLA fallback at these sizes
+                # has crashed the device) — margin covers sub-axis
+                # cross terms of the flat shift
+                from ..ops.pallas_box import MAX_TILE_ROWS, LANES
+                s0max = int(np.abs(
+                    self._model_int.stoichiometry[:, 0]).max())
+                minor_limit = ((MAX_TILE_ROWS - 256) * LANES
+                               // max(1, s0max))
             self._space = BoxStateSpace(self._model_int.stoichiometry,
                                         self.constraints, seeds,
                                         pad_quanta=pad_quanta,
                                         prealloc_budget=prealloc,
                                         growable_axes=growable,
-                                        build_on_device=on_dev)
+                                        build_on_device=on_dev,
+                                        minor_limit=minor_limit)
             if self.log_events:
                 self._space.events = self.events   # MaskBFS sub-timer
         else:

@@ -122,7 +122,8 @@ class BoxStateSpace:
                  pad_quanta=None,
                  prealloc_budget: Optional[float] = None,
                  growable_axes=None,
-                 build_on_device: bool = False):
+                 build_on_device: bool = False,
+                 minor_limit: Optional[int] = None):
         """``pad_quanta``: per-axis size quanta; each capacity axis is
         rounded up to a multiple of its quantum (used to make the sharded
         axis divisible by the mesh size).
@@ -163,6 +164,11 @@ class BoxStateSpace:
                               if growable_axes is None
                               else np.asarray(growable_axes, dtype=bool))
         self.build_on_device = bool(build_on_device)
+        #: cap on prod(shape[1:]) — the fused kernel's flat-shift halo is
+        #: exactly the axis-0 stride, and halos beyond the tile budget
+        #: knock the solve onto the XLA fallback (solver passes the
+        #: kernel-derived cap; None = unconstrained)
+        self.minor_limit = None if minor_limit is None else int(minor_limit)
         self._shape = None
         self._mask_builder = None
         self._prev_mask = None      # incremental BFS seed (device or host)
@@ -287,6 +293,42 @@ class BoxStateSpace:
             else:
                 hi = mid - 1
         dims = np.asarray(dims_for(lo), np.int64)
+        # Halo coupling: the fused kernel's stencil halo equals the
+        # axis-0 stride = prod(dims[1:]).  When the water-filled minor
+        # product exceeds the kernel's cap but the MINIMAL minor extents
+        # fit, redo the fill with the minor axes constrained to the cap
+        # and pour the remaining headroom into axis 0 (whose growth is
+        # halo-free and feeds the shard axis).
+        S = len(dims)
+        if self.minor_limit is not None and S > 1 and \
+                float(np.prod(dims[1:].astype(np.float64))) \
+                > self.minor_limit:
+            minor_min = [_round_fine(int(e), int(q))
+                         for e, q in zip(ext[1:], self.pad_quanta[1:])]
+            if float(np.prod(np.asarray(minor_min, np.float64))) \
+                    <= self.minor_limit:
+                def minor_for(C):
+                    return [
+                        _round_fine(max(int(e), C if g else 0), int(q))
+                        for e, g, q in zip(ext[1:], grow[1:],
+                                           self.pad_quanta[1:])]
+                lo2, hi2 = 1, int(max(ext[1:])) + 1
+                while lo2 < hi2:
+                    mid = (lo2 + hi2 + 1) // 2
+                    if float(np.prod(np.asarray(minor_for(mid),
+                                                np.float64))) \
+                            <= self.minor_limit:
+                        lo2 = mid
+                    else:
+                        hi2 = mid - 1
+                minor = minor_for(lo2)
+                mprod = float(np.prod(np.asarray(minor, np.float64)))
+                ax0 = int(target // mprod)
+                ax0 = max(_round_fine(int(ext[0]),
+                                      int(self.pad_quanta[0])),
+                          (ax0 // int(self.pad_quanta[0]))
+                          * int(self.pad_quanta[0]))
+                dims = np.asarray([ax0] + minor, np.int64)
         if self._shape is not None:         # monotone: never shrink
             dims = np.maximum(dims, np.asarray(self._shape, np.int64))
         return tuple(int(d) for d in dims)
