@@ -49,6 +49,7 @@ def test_permuted_model_and_constraints_evaluate_identically():
                                   b.model.stoichiometry[:, order])
 
 
+@pytest.mark.medium
 def test_hog1p_3d_box_solve_permutes_and_matches_ell():
     """hog1p_3d: gene axis (extent 4) leads; the box backend must engage
     the permutation and still return user-order states that match the
@@ -87,6 +88,7 @@ def test_hog1p_3d_box_solve_permutes_and_matches_ell():
     assert abs(d3.sum() - 1.0) < 1e-3
 
 
+@pytest.mark.medium
 def test_mid_solve_reorder_on_anisotropic_growth():
     """Anisotropic expansion that flips the extent ordering must trigger
     the capacity-growth reorder rebuild (stale order measured a 51.7 GB
@@ -129,6 +131,7 @@ def test_mid_solve_reorder_on_anisotropic_growth():
     assert tv < 5e-7, tv
 
 
+@pytest.mark.medium
 def test_sens_mid_solve_reorder_matches_unpermuted():
     """The sens driver's reorder rebuild must carry p AND dp through the
     same state-identity map (reference ExpandVec semantics)."""
