@@ -28,6 +28,7 @@ from typing import Callable, List, Optional, Sequence, Union
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import DEFAULT_DTYPE
 from ..models.model import Model
@@ -399,73 +400,80 @@ class FspSolverMultiSinks:
         return (float(np.prod(np.asarray(clamped, np.float64))) > budget
                 >= float(np.prod(np.asarray(fresh, np.float64))))
 
+    def _reorder_prep(self, new_bounds):
+        """Shared reorder-rebuild front half: slice old device arrays to
+        the old extents, compute the old->new transpose axes, restore
+        user constraints, and rebuild the space under the fresh order
+        (with the old extents as a floor so the new box embeds the old).
+
+        Returns ``(transform, sinks_old)`` where ``transform(arr_box)``
+        maps an old-layout box array onto the new layout entirely on
+        device (slice -> transpose -> pad)."""
+        from ..statespace.permute import choose_axis_order
+        space_old = self._space
+        S = self.model.num_species
+        E1 = np.asarray(space_old._box_bounds, np.int64) + 1
+        inv1 = getattr(self, "_axis_inv", None)
+        o1 = (self._axis_order if inv1 is not None
+              else np.arange(S, dtype=np.int64))
+        inv1 = np.argsort(o1)
+        E1_user = E1[inv1]
+        user_cs = (self._user_constraints if getattr(
+            self, "_axis_inv", None) is not None else self.constraints)
+        self.constraints = user_cs.with_bounds(new_bounds)
+        box_u = self.constraints.derive_box_bounds(S, self._init_states)
+        o2 = choose_axis_order(np.asarray(box_u) + 1)
+        if o2 is None:
+            o2 = np.arange(S, dtype=np.int64)
+        floor_new = E1_user[o2]
+        old_mask = space_old.mask          # device bool, old layout
+        sinks_old = self._y.sinks
+
+        self._build_space_floor = floor_new
+        try:
+            self._build_space()            # re-derives the same order o2
+        finally:
+            self._build_space_floor = None
+        # transpose axes: new internal axis j <- old internal axis t[j]
+        t = tuple(int(inv1[int(u)]) for u in o2)
+        C2 = self._space.shape
+
+        def transform(arr_box):
+            v = arr_box[tuple(slice(0, int(e)) for e in E1)]
+            v = jnp.transpose(v, axes=t)
+            pad = [(0, int(C2[j]) - int(E1[t[j]]), 0) for j in range(S)]
+            return lax.pad(v, jnp.zeros((), v.dtype), pad)
+
+        # union the old membership in: the fresh BFS closure can miss
+        # path-dependent states (observed: 1800 of 14.9M on hog1p's
+        # t=168.6 rung); the transposed old mask makes coverage exact
+        self._space.absorb_mask(transform(old_mask))
+        return transform, sinks_old
+
     def _rebuild_box_reordered(self, new_bounds, n_before,
                                to_expand) -> None:
-        """Rebuild the box space/operator under a fresh descending-extent
-        axis order and scatter the solution by state identity (the
-        in-family analogue of _migrate_box_to_ell)."""
+        """Rebuild the box space/operator under a fresh axis order and
+        carry the solution over ON DEVICE: state identity = coordinates,
+        so the old box embeds into the new one as slice -> transpose ->
+        zero-pad (the host state-identity scatter this replaces cost
+        minutes at 15-23M states on hog1p)."""
         if self.verbosity:
             print(f"[fsp] t = {self._t_now:.4g}: re-deriving box axis "
                   "order at capacity growth")
-        space_old = self._space
         p_dev = self._y.p
         if p_dev.ndim == 1 and getattr(self._operator, "padded_layout",
                                        False):
             p_dev = self._operator.from_padded(p_dev)
-        p_vals = space_old.extract_valid(p_dev)      # host, states() order
-        states_int = space_old.states()
-        sinks_old = self._y.sinks
-        inv1 = getattr(self, "_axis_inv", None)
-        states_user = states_int if inv1 is None else states_int[:, inv1]
-        if inv1 is not None:
-            self.constraints = self._user_constraints.with_bounds(
-                new_bounds)
-        else:
-            self.constraints = self.constraints.with_bounds(new_bounds)
         floor = getattr(self._operator, "sink_m_pad", 0)
         with self.events.timed(EVT_MATGEN):
-            self._build_space()     # re-derives the axis order itself
+            transform, sinks_old = self._reorder_prep(new_bounds)
             self._escalate_if_stuck(n_before, to_expand)
             self._operator = None
             self._build_operator()
             if self._operator.sink_m_pad < floor:
                 self._operator.sink_m_pad = floor
         with self.events.timed(EVT_SCATTER):
-            s_int = (states_user if getattr(self, "_axis_inv", None)
-                     is None else states_user[:, self._axis_order])
-            idx = self._space.state2index(s_int)
-            if (idx < 0).any():
-                # The fresh init-seeded BFS missed some previously-held
-                # states (e.g. a constraint shape whose corner probe
-                # under-covers, or reachability that needed the old
-                # frontier).  Rebuild ONCE with the old states as extra
-                # BFS seeds — coverage is then by construction.
-                lost = s_int[idx < 0]
-                if self.verbosity:
-                    print(f"[fsp] reorder rebuild missed "
-                          f"{lost.shape[0]} states; re-seeding BFS with "
-                          "the previous state set")
-                with self.events.timed(EVT_MATGEN):
-                    self._build_space(extra_seeds=s_int)
-                    self._operator = None
-                    self._build_operator()
-                    if self._operator.sink_m_pad < floor:
-                        self._operator.sink_m_pad = floor
-                s_int = (states_user
-                         if getattr(self, "_axis_inv", None) is None
-                         else states_user[:, self._axis_order])
-                idx = self._space.state2index(s_int)
-            if (idx < 0).any():
-                bad = s_int[idx < 0][:3]
-                vals = np.asarray(self.constraints.values(bad))
-                raise StateSpaceError(
-                    "reordered box lost states even with re-seeded BFS: "
-                    f"{int((idx < 0).sum())} lost; sample {bad.tolist()} "
-                    f"scores {vals.tolist()} vs bounds "
-                    f"{self.constraints.bounds.tolist()}")
-            p_new = np.zeros(self._space.size, dtype=np.float64)
-            p_new[idx] = p_vals
-            p = jnp.asarray(p_new, self.dtype).reshape(self._space.shape)
+            p = transform(p_dev)
             if getattr(self._operator, "padded_layout", False):
                 p = self._operator.to_padded(p)
             self._y = self._place(FspVector(p=p, sinks=sinks_old))
@@ -650,13 +658,15 @@ class FspSolverMultiSinks:
                     self._model_int.stoichiometry[:, 0]).max())
                 minor_limit = ((MAX_TILE_ROWS - 256) * LANES
                                // max(1, s0max))
-            self._space = BoxStateSpace(self._model_int.stoichiometry,
-                                        self.constraints, seeds,
-                                        pad_quanta=pad_quanta,
-                                        prealloc_budget=prealloc,
-                                        growable_axes=growable,
-                                        build_on_device=on_dev,
-                                        minor_limit=minor_limit)
+            self._space = BoxStateSpace(
+                self._model_int.stoichiometry,
+                self.constraints, seeds,
+                pad_quanta=pad_quanta,
+                prealloc_budget=prealloc,
+                growable_axes=growable,
+                build_on_device=on_dev,
+                minor_limit=minor_limit,
+                extent_floor=getattr(self, "_build_space_floor", None))
             if self.log_events:
                 self._space.events = self.events   # MaskBFS sub-timer
         else:

@@ -206,59 +206,25 @@ class SensFspSolverMultiSinks(FspSolverMultiSinks):
 
     def _rebuild_box_reordered(self, new_bounds, n_before,
                                to_expand) -> None:
-        """Sens variant of the parent's capacity-growth axis reorder:
-        p AND every sensitivity scatter through the same state-identity
-        map (reference: one ExpandVec map for all vectors,
-        SensFspSolverMultiSinks.cpp:397-402)."""
+        """Sens variant of the parent's capacity-growth axis reorder: p
+        AND every sensitivity carry through the SAME device transform
+        (slice -> transpose -> pad; the reference applies one ExpandVec
+        map to all vectors, SensFspSolverMultiSinks.cpp:397-402)."""
         from ..sys.events import EVT_SCATTER
-        space_old = self._space
         y = self._y
-        p_vals = space_old.extract_valid(y.p)
-        s_vals = np.stack([space_old.extract_valid(y.s[j])
-                           for j in range(y.s.shape[0])]) \
-            if y.s.shape[0] else None
-        states_int = space_old.states()
-        inv1 = getattr(self, "_axis_inv", None)
-        states_user = states_int if inv1 is None else states_int[:, inv1]
-        if inv1 is not None:
-            self.constraints = self._user_constraints.with_bounds(
-                new_bounds)
-        else:
-            self.constraints = self.constraints.with_bounds(new_bounds)
         with self.events.timed(EVT_MATGEN):
-            self._build_space()
+            transform, _ = self._reorder_prep(new_bounds)
             self._escalate_if_stuck(n_before, to_expand)
             self._build_operator()
         with self.events.timed(EVT_SCATTER):
-            s_int = (states_user if getattr(self, "_axis_inv", None)
-                     is None else states_user[:, self._axis_order])
-            idx = self._space.state2index(s_int)
-            if (idx < 0).any():
-                # coverage fallback: re-seed the fresh BFS with the old
-                # state set (see the transient driver's variant)
-                with self.events.timed(EVT_MATGEN):
-                    self._build_space(extra_seeds=s_int)
-                    self._build_operator()
-                s_int = (states_user
-                         if getattr(self, "_axis_inv", None) is None
-                         else states_user[:, self._axis_order])
-                idx = self._space.state2index(s_int)
-            if (idx < 0).any():
-                raise StateSpaceError(
-                    "reordered box lost states even with re-seeded BFS "
-                    f"({int((idx < 0).sum())} lost)")
-            n_par = y.s.shape[0]
-            p_new = np.zeros(self._space.size, dtype=np.float64)
-            p_new[idx] = p_vals
-            s_new = np.zeros((n_par, self._space.size), dtype=np.float64)
-            if s_vals is not None:
-                s_new[:, idx] = s_vals
-            shape = self._space.shape
+            p = transform(y.p)
+            s = (jnp.stack([transform(y.s[j])
+                            for j in range(y.s.shape[0])])
+                 if y.s.shape[0]
+                 else jnp.zeros((0,) + tuple(self._space.shape),
+                                self.dtype))
             self._y = self._place(SensFspVector(
-                p=jnp.asarray(p_new, self.dtype).reshape(shape),
-                sinks=y.sinks,
-                s=jnp.asarray(s_new, self.dtype).reshape((n_par,) + shape),
-                ssinks=y.ssinks))
+                p=p, sinks=y.sinks, s=s, ssinks=y.ssinks))
         self._ode_solver = None
 
     def _place(self, y):

@@ -123,7 +123,8 @@ class BoxStateSpace:
                  prealloc_budget: Optional[float] = None,
                  growable_axes=None,
                  build_on_device: bool = False,
-                 minor_limit: Optional[int] = None):
+                 minor_limit: Optional[int] = None,
+                 extent_floor=None):
         """``pad_quanta``: per-axis size quanta; each capacity axis is
         rounded up to a multiple of its quantum (used to make the sharded
         axis divisible by the mesh size).
@@ -169,6 +170,10 @@ class BoxStateSpace:
         #: knock the solve onto the XLA fallback (solver passes the
         #: kernel-derived cap; None = unconstrained)
         self.minor_limit = None if minor_limit is None else int(minor_limit)
+        #: per-axis minimum extents (the reorder rebuild passes the old
+        #: space's extents so the new box provably embeds it)
+        self.extent_floor = (None if extent_floor is None
+                             else np.asarray(extent_floor, np.int64))
         self._shape = None
         self._mask_builder = None
         self._prev_mask = None      # incremental BFS seed (device or host)
@@ -338,6 +343,8 @@ class BoxStateSpace:
             self.num_species, self.init_states)
         box_bounds = np.maximum(
             box_bounds, getattr(self, "_box_floor", 0))
+        if self.extent_floor is not None:
+            box_bounds = np.maximum(box_bounds, self.extent_floor - 1)
         self._box_bounds = box_bounds
         raw_shape = np.asarray(box_shape_from_bounds(box_bounds))
 
@@ -429,6 +436,7 @@ class BoxStateSpace:
             # lazily by the ``mask`` property.
             self._mask = None
         self._num_states = int(n_h)
+        self._n_ok = int(n_ok_h)
         # Whenever BFS reachability prunes nothing (mask == constraint-ok,
         # the common case for the bundled models), the mask is a pure
         # function of (coords, bounds) — operators may then synthesize it
@@ -501,6 +509,23 @@ class BoxStateSpace:
                           jnp.asarray(self._prev_mask))
 
         return call
+
+    def absorb_mask(self, mask_add) -> None:
+        """OR an extra validity mask (same box shape, device bool) into
+        the state set — the reorder rebuild unions the transposed old
+        mask so previously-held states are members BY CONSTRUCTION even
+        when the fresh BFS closure misses them (observed: 1800 of 14.9M
+        on hog1p's t=168.6 rung).  Every absorbed state must satisfy the
+        current constraints (callers pass masks built under tighter
+        bounds)."""
+        new_mask = jnp.logical_or(self.mask, jnp.asarray(mask_add))
+        n = int(jax.device_get(new_mask.sum()))
+        self._mask = new_mask
+        self._mask_host_cache = None
+        self._num_states = n
+        self.mask_is_constraint_only = (n == getattr(self, "_n_ok", -1))
+        self._prev_mask = (new_mask if self.build_on_device
+                           else np.asarray(jax.device_get(new_mask)))
 
     # ------------------------------------------------------- expansion ---
     def set_bounds(self, new_bounds) -> None:
