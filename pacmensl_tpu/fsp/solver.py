@@ -366,8 +366,23 @@ class FspSolverMultiSinks:
         cap = float(np.prod(np.asarray(need, np.float64)))
         if cap > min(float(MAX_BOX_ELEMS), self._box_elem_budget()):
             return True
+        # Kernel infeasibility: when even the MINIMAL minor-axes product
+        # exceeds the fused kernel's halo budget under every axis order
+        # (e.g. transcr6d's |s|=2 dimerization over five large minor
+        # axes), the box path would run on the XLA fallback — slow and
+        # measured to crash the device at tens of millions of elements.
+        # The compressed backend is the right representation there.
+        ml = getattr(self._space, "minor_limit", None)
+        if ml is not None and len(need) > 1:
+            minor = sorted(need)[:-1]       # best case: largest axis first
+            if float(np.prod(np.asarray(minor, np.float64))) > ml:
+                return True
+        # Fill collapse: conservation laws / gated shapes can make the
+        # reachable set a sliver of its bounding box (transcr6d: 0.8%);
+        # gate on the box being large in absolute terms so small boxes
+        # never churn backends.
         n = self._space.num_states
-        return n > 5.0e5 and n < 0.015 * self._space.size
+        return self._space.size > 2.0e6 and n < 0.015 * self._space.size
 
     def _box_reorder_needed(self, new_bounds) -> bool:
         """True when the grown bounds outgrow the box capacity AND either
