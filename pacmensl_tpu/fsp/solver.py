@@ -380,9 +380,15 @@ class FspSolverMultiSinks:
         # Fill collapse: conservation laws / gated shapes can make the
         # reachable set a sliver of its bounding box (transcr6d: 0.8%);
         # gate on the box being large in absolute terms so small boxes
-        # never churn backends.
+        # never churn backends.  Fill is measured against the TIGHT
+        # bounding box of the new bounds — NOT self._space.size, whose
+        # 8x headroom padding made the repressilator (12-40% tight fill)
+        # look like a 1.5% sliver at its first expansion and migrated
+        # the flagship onto the gather backend (7x solve regression,
+        # caught in round 4).
+        tight = float(np.prod(np.asarray(box, np.float64) + 1.0))
         n = self._space.num_states
-        return self._space.size > 2.0e6 and n < 0.015 * self._space.size
+        return tight > 2.0e6 and n < 0.015 * tight
 
     def _box_reorder_needed(self, new_bounds) -> bool:
         """True when the grown bounds outgrow the box capacity AND either

@@ -94,3 +94,27 @@ def test_hog1p_5d_box_matches_ell():
     tv = 0.5 * sum(abs(float(p) - m[tuple(x)])
                    for x, p in zip(d1.states, d1.p))
     assert tv < 1e-6, tv
+
+
+def test_fill_collapse_gate_ignores_headroom_padding(monkeypatch):
+    """Round-4 regression: the fill-collapse migration gate must measure
+    fill against the TIGHT bounding box of the new bounds, not the
+    headroom-padded capacity.  On chip the flagship repressilator
+    (12-40% tight fill, 8x headroom) presented <1.5% fill vs capacity at
+    its first expansion and the whole solve fell onto the gather backend
+    (7x wall regression).  This reproduces that event's numbers exactly:
+    n=36k states, tight box ~150k, padded capacity 2.5M."""
+    _, s = _solve("box", t_final=0.1)
+    assert s._backend_used == "box"
+
+    class _PaddedSpace:
+        # only the attributes the gate reads
+        prealloc_budget = getattr(s._space, "prealloc_budget", None)
+        minor_limit = getattr(s._space, "minor_limit", None)
+        size = 2.5e6          # 8x-headroom-padded capacity
+        num_states = 36000    # ~24% fill of the tight box below
+
+    s._space = _PaddedSpace()
+    # bounds whose tight box is (52,52,52) ~ 1.4e5 elements
+    new_bounds = np.asarray([51, 51, 51, 5000, 5000, 5000], np.int64)
+    assert s._should_leave_box(new_bounds) is False
