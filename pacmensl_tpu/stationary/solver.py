@@ -64,16 +64,48 @@ class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
 
             def run(x0, data, n_valid):
                 diag = op.diagonal(0.0, data)
+                if diag.shape != x0.shape:
+                    # box backend, fused-kernel padded layout: action
+                    # vectors are flat [n_pad] while diagonal() is
+                    # box-shaped — align them (padding slots are zero,
+                    # so sums/dots below see only valid states)
+                    diag = op.to_padded(diag)
+                # Jacobi LEFT preconditioner: CME generator diagonals
+                # span orders of magnitude across the expanded space;
+                # unpreconditioned GMRES(30) exhausted its restart budget
+                # near n~5k on the repressilator (residual plateau 4e-8 >
+                # the 1e-12 target, both backends).  The reference runs
+                # SPGMR with PREC_NONE; diagonal scaling here keeps the
+                # iteration count flat as the space grows.  LEFT (not
+                # right) so every Krylov vector and the rhs have O(1)
+                # entries — the right-preconditioned form carried
+                # diag-magnitude (~1e4) components and diverged in f32
+                # on the chip.  The preconditioned system is
+                # D^{-1} (A + (2/n) d q^T) x = D^{-1} d = 1_valid.
+                # Invalid/padding slots have diag == 0 -> scale 1 and a
+                # zero rhs (those components stay zero in Krylov space).
+                valid = jnp.abs(diag) > 1e-30
+                safe_d = jnp.where(valid, diag, jnp.ones_like(diag))
+                b_pre = jnp.where(valid, jnp.ones_like(diag),
+                                  jnp.zeros_like(diag))
 
                 def modified(v):
-                    # (A + (2/n) d q^T) v   (q = ones over valid states)
                     av = op.action(0.0, FspVector(
                         p=v, sinks=jnp.zeros((n_c,), self.dtype)), data).p
                     alpha = jnp.sum(v) * 2.0 / n_valid
-                    return av + alpha * diag
+                    return (av + alpha * diag) / safe_d
 
-                res = gmres(modified, diag, x0, tol=self.gmres_tol,
-                            atol=1e-300, dtype=self.dtype)
+                # dtype-aware target: the 1e-12 default is unreachable
+                # in f32 (the chip's native precision) — floor the
+                # relative tolerance at 64*eps so a TPU solve converges
+                # at its arithmetic's floor instead of exhausting the
+                # restart budget and hard-failing (f64 runs keep the
+                # 1e-12 target: 64*eps_f64 ~ 1.4e-14 < 1e-12).
+                eps = float(jnp.finfo(self.dtype).eps)
+                tol_eff = max(self.gmres_tol, 64.0 * eps)
+                res = gmres(modified, b_pre, x0,
+                            tol=tol_eff, atol=1e-300,
+                            max_restarts=200, dtype=self.dtype)
                 pi = res.x / jnp.sum(res.x)
                 sinks = op.action(0.0, FspVector(
                     p=pi, sinks=jnp.zeros((n_c,), self.dtype)), data).sinks
