@@ -58,7 +58,12 @@ def main():
 
     dtype = (jnp.float64 if os.environ.get("PACMENSL_BENCH_DTYPE") == "f64"
              else jnp.float32)
-    k_lo = int(os.environ.get("PACMENSL_BENCH_ITERS", "24"))
+    # 160/640 chain: the aligned kernel runs ~60 us/matvec, so the
+    # two-point slope needs hundreds of chained matvecs (~30 ms of
+    # differential work) to stand clear of the tunnel's multi-ms
+    # run-to-run noise — the old 24/96 slope measured noise (observed
+    # fraction 1.91 of the stream roofline, a physical impossibility)
+    k_lo = int(os.environ.get("PACMENSL_BENCH_ITERS", "160"))
     k_hi = 4 * k_lo
     bound = int(os.environ.get("PACMENSL_BENCH_BOUND", "127"))
     t_all = time.perf_counter()
@@ -73,7 +78,23 @@ def main():
     bench_bounds = np.array([bound, bound, bound], dtype=np.int64)
     cs = ConstraintSet(None, bench_bounds,
                        np.full(3, 0.2))
-    space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+    # Fixed-bounds benchmark: no expansion ever happens, so allocating
+    # the adaptive solver's 8x expansion headroom would only pad the box
+    # (bound 127 -> 141^3 capacity, 34% dead elements in every matvec)
+    # and measure padding, not the kernel.  Exact capacity also lands
+    # the minor extent on one lane group (128), engaging the kernel's
+    # lane-aligned fast path.
+    held = os.environ.get("PACMENSL_BOX_HEADROOM")
+    os.environ["PACMENSL_BOX_HEADROOM"] = "1"
+    try:
+        # budgeted path + headroom 1 -> exact fine-rounded extents
+        space = BoxStateSpace(b.model.stoichiometry, cs, b.x0,
+                              prealloc_budget=2.0e8)
+    finally:
+        if held is None:
+            os.environ.pop("PACMENSL_BOX_HEADROOM", None)
+        else:
+            os.environ["PACMENSL_BOX_HEADROOM"] = held
     op = BoxOperator(b.model, space, dtype=dtype)
     log(f"space: shape={space.shape} n={space.num_states} "
         f"pallas={op._pallas is not None} "
@@ -122,26 +143,43 @@ def main():
     # kernel-traffic model below still uses the BOX size.
     n_elems = int(np.prod(space.shape))
     n_probe = max(n_elems, 1 << 26)
-    x = jnp.zeros((n_probe,), dtype)
 
     # Return a SCALAR: fetching the full array back through the device
     # tunnel would measure RPC transfer, not HBM streaming.  Two-point
     # K-slope cancels the fixed dispatch latency like the SpMV timing.
     #
-    # The probe is a NONLINEAR two-buffer recurrence (a' = b; b' = a +
-    # eps * b * b): each iteration must genuinely read both n-element HBM
-    # buffers and write one — 3*n*itemsize of traffic per step.  Linear
-    # probes do not survive XLA: a single-buffer `a * c` chain collapsed
-    # to ~8.8 TB/s, and even a linear ping-pong was strength-reduced
-    # (a_k * c^(k/2)) once the static-trip-count loop unrolled.  The
-    # squaring makes the recurrence non-associative, so no closed form
-    # exists to fold.
+    # The probe is a chained PALLAS COPY kernel over a 256 MB buffer
+    # (>> the 128 MB VMEM, forcing genuine HBM traffic): 2*n*itemsize
+    # of traffic per step, through the exact same pallas dispatch path
+    # as the SpMV kernel, and opaque to XLA so no folding is possible.
+    # (History: a linear recurrence probe strength-reduced to ~8.8 TB/s;
+    # a nonlinear two-buffer recurrence resisted folding but its
+    # loop-carried XLA schedule swung 43.9-287 GB/s run-to-run through
+    # the tunnel — useless as a roofline denominator.)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from pacmensl_tpu.ops.pallas_box import is_tpu_device
+    PROBE_T = 4096
+    rows_probe = n_probe // 128
+    rows_probe -= rows_probe % PROBE_T
+    x = jnp.zeros((rows_probe, 128), dtype)
+
+    def _copy_kernel(src_ref, dst_ref):
+        dst_ref[:] = src_ref[:]
+
+    pcopy = pl.pallas_call(
+        _copy_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_probe, 128), dtype),
+        in_specs=[pl.BlockSpec((PROBE_T, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((PROBE_T, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        grid=(rows_probe // PROBE_T,),
+        interpret=not is_tpu_device(),
+    )
+
     def stream(k, v):
-        def body(i, ab):
-            a, b = ab
-            return (b, a + b * b * dtype(1e-12))
-        a, b = lax.fori_loop(0, k, body, (v, v + dtype(1.0)))
-        return a.sum() + b.sum()
+        return lax.fori_loop(0, k, lambda i, a: pcopy(a), v).sum()
     stream_j = jax.jit(stream, static_argnums=0)
     stream_j(k_lo, x).block_until_ready()
     stream_j(k_hi, x).block_until_ready()
@@ -150,8 +188,8 @@ def main():
     t1 = time.perf_counter()
     stream_j(k_hi, x).block_until_ready()
     t2 = time.perf_counter()
-    bw = 3.0 * n_probe * jnp.dtype(dtype).itemsize * (k_hi - k_lo) / \
-        max((t2 - t1) - (t1 - t0), 1e-9)
+    bw = 2.0 * rows_probe * 128 * jnp.dtype(dtype).itemsize * \
+        (k_hi - k_lo) / max((t2 - t1) - (t1 - t0), 1e-9)
     # sanity: a v5e datasheet reads ~819 GB/s HBM; a measurement far above
     # means the probe collapsed again and the roofline below is noise
     if bw > 1.3e12:
@@ -169,6 +207,10 @@ def main():
         log(f"stream bandwidth: {bw/1e9:.1f} GB/s; kernel traffic "
             f"{traffic/1e6:.1f} MB/matvec -> roofline {traffic/bw*1e6:.1f} "
             f"us; achieved fraction {frac:.2f}")
+        if frac > 1.25:
+            log("WARNING: fraction > 1.25 is physically impossible "
+                "against a true stream rate — matvec slope under-resolved "
+                "or stream probe collapsed; treat with suspicion")
 
     # --- reference-equivalent baseline: scipy CSR on host CPU ------------
     # Built directly from the box enumeration (vectorized) — same sparsity

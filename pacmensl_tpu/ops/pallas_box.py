@@ -259,6 +259,19 @@ class PallasBoxKernel:
         nd = len(self.shape)
         self.strides = [
             _prod(self.shape[d + 1:]) for d in range(nd)]
+        # Lane-aligned fast path: when the minor extent is EXACTLY one
+        # lane group, the minor coordinate IS the lane index ([1, 128]
+        # field, free), every upper coordinate is a pure row function
+        # ([rows, 1] fields — decode and all constraint/propensity
+        # arithmetic on them costs 1/128th of a full box op, broadcast
+        # only on contact with p), and every stencil shift k = 128*m +
+        # s_minor resolves as lane-roll(s_minor) + row-roll(m) with NO
+        # carry select: a lane-wrapped position's N-d minor source is
+        # out of [0, 128) by construction, which the per-axis validity
+        # mask zeroes.  (Exactly 128 — for multiples, a lane wrap can
+        # land on a VALID interior minor coordinate and the no-carry
+        # argument fails.)
+        self.aligned = (nd >= 2 and self.shape[-1] == LANES)
         # --- tiling decision -------------------------------------------
         # Peak live VMEM in the single-block kernel scales with the
         # problem: S coordinate fields + p + mask/synth chain + acc +
@@ -311,6 +324,8 @@ class PallasBoxKernel:
         the per-axis source-validity masks before it can reach an
         accumulator, and only middle-slice values (``coords_m`` /
         ``ap_m``) may feed sinks or unmasked terms."""
+        if self.aligned:
+            return self._coords_aligned(nrows, base_row)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
         idx = (row_iota + base_row) * LANES + lane_iota
@@ -337,6 +352,49 @@ class PallasBoxKernel:
                           else q - q_hi * self.shape[d])
             q_hi = q
         return coords, lane_iota, idx
+
+    def _coords_aligned(self, nrows: int, base_row=0):
+        """Aligned-mode coordinate fields: minor = lane index [1, LANES],
+        upper coordinates = mixed-radix decode of the ROW index carried
+        as [nrows, 1] columns (row values are tiny, so the f32
+        reciprocal-divide is always exact here).  Returns
+        ``(coords, lane_field, row_start_idx)`` where ``row_start_idx``
+        [nrows, 1] is ``row * LANES`` — rows are whole-box-aligned
+        (n % LANES == 0), so the padded-tail test only needs the row."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        rvec = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) + base_row
+        rstrides = [sd // LANES for sd in self.strides[:-1]]
+
+        def fdiv(a, sd):
+            q = (a.astype(jnp.float32) *
+                 np.float32(1.0 / sd)).astype(jnp.int32)
+            r = a - q * sd
+            q = jnp.where(r < 0, q - 1, q)
+            q = jnp.where(r >= sd, q + 1, q)
+            return q
+
+        coords = []
+        q_hi = None
+        for d, sd in enumerate(rstrides):
+            q = fdiv(rvec, sd) if sd > 1 else rvec
+            coords.append(q if q_hi is None
+                          else q - q_hi * self.shape[d])
+            q_hi = q
+        coords.append(lane)
+        return coords, lane, rvec * LANES
+
+    def _flat_shift_aligned(self, a2, s_minor: int, k: int):
+        """Aligned-mode flat shift: k = LANES*m + s_minor with every
+        upper stride a multiple of LANES, so the shift is lane-roll +
+        row-roll with no carry select (wrapped lanes carry garbage whose
+        N-d minor source is out of range — zeroed by the validity
+        mask)."""
+        if k == 0:
+            return a2
+        m = (k - s_minor) // LANES
+        b = self._roll(a2, s_minor % LANES, axis=1) if s_minor % LANES \
+            else a2
+        return self._roll(b, m, axis=0)
 
     def _roll(self, a, shift, axis):
         if shift % a.shape[axis] == 0:
@@ -378,6 +436,8 @@ class PallasBoxKernel:
         n_c = len(comps) if comps is not None else 0
 
         def mid(a):
+            if a.shape[0] == 1:       # row-invariant broadcast field
+                return a
             return a if (mid0 == 0 and a.shape[0] == t_out) \
                 else a[mid0:mid0 + t_out]
 
@@ -390,13 +450,19 @@ class PallasBoxKernel:
         else:
             gcoords_w = list(coords_w)
         coords_m = [mid(cd) for cd in gcoords_w]
-        x_view = CoordStates([ci.astype(dtype) for ci in gcoords_w])
+        # Constraint components evaluate on int32 coordinates (no float
+        # casts): constraint values are integers by contract — the generic
+        # ConstraintSet path already hands comps int state arrays, and the
+        # reference's fsp_constr_multi_fn returns int arrays
+        # (StateSetConstrained.h:35-68) — so int compare against the SMEM
+        # int bounds is exact and saves R*n_c casts per matvec.
+        x_int = CoordStates(gcoords_w)
 
         if mask_w is None:
             mask_b = None
             for cc in range(n_c):
-                v = jnp.asarray(comps[cc](x_view)).astype(dtype)
-                okc = v <= bounds_ref[0, cc].astype(dtype)
+                v = jnp.asarray(comps[cc](x_int))
+                okc = v <= bounds_ref[0, cc]
                 mask_b = okc if mask_b is None else (mask_b & okc)
             if self.sharded:
                 # halo planes beyond the global box decode negative /
@@ -413,25 +479,52 @@ class PallasBoxKernel:
         else:
             own_m = None
 
+        # Mask p ONCE (hoisted out of the reaction loop); propensities then
+        # multiply instead of re-selecting per reaction.  Only the leading
+        # coordinate can decode out of its range (mixed-radix structure
+        # keeps lower coordinates in [0, shape_d); see _coords), so clamp
+        # x0 before the propensity sees it: a_r evaluated at clamped
+        # coordinates is a finite in-box value, and every position where
+        # the clamp changed anything has masked p = 0 (halo-edge zeros or
+        # synthesized-mask rejects), so a_r * p_masked is exactly 0 there
+        # — no inf/nan can reach an accumulator.
+        p_masked = jnp.where(mask_b, p_w, jnp.zeros((), dtype))
+        x0c = jnp.clip(gcoords_w[0], 0, self.g0 - 1)
+        x_prop = CoordStates(
+            [x0c.astype(dtype)] + [ci.astype(dtype)
+                                   for ci in gcoords_w[1:]])
+
         acc = jnp.zeros((t_out, LANES), dtype)
-        sink_acc = [jnp.zeros((), dtype) for _ in range(n_c)]
+        # Per-constraint sink partials stay [1, LANES] (sublane-reduced
+        # per combo, lane-reduced ONCE per constraint at the end): the
+        # direct [T,128] -> scalar jnp.sum per (reaction, constraint)
+        # combo measured ~18 us/combo on v5e — the cross-lane reduction
+        # dominates — vs ~2 n-ops for the two-stage form.
+        sink_acc = [jnp.zeros((1, LANES), dtype) for _ in range(n_c)]
         for k, r in enumerate(self.reactions):
             c_r = c_ref[0, k]
-            a_r = jnp.asarray(self.propensity(x_view, r)).astype(dtype)
-            # where() (not multiply) so inf/nan propensities at padded or
-            # clamped-garbage coordinates never reach the accumulators
-            ap = jnp.where(mask_b, a_r * p_w, jnp.zeros((), dtype))
+            a_r = jnp.asarray(self.propensity(x_prop, r)).astype(dtype)
+            ap = a_r * p_masked
             s = self.stoich[r]
             kk = int(sum(int(s[d]) * self.strides[d] for d in range(nd)))
-            inflow = mid(self._flat_shift(ap, lane_iota, kk))
+            if self.aligned:
+                shifted = self._flat_shift_aligned(ap, int(s[-1]), kk)
+            else:
+                shifted = self._flat_shift(ap, lane_iota, kk)
+            inflow = mid(shifted)
             valid = mask_m
             for d in range(nd):
                 sd = int(s[d])
                 if sd == 0:
                     continue
                 src = coords_m[d] - sd
-                hi = self.g0 if d == 0 else self.shape[d]
-                ok = (src >= 0) & (src < hi)
+                # one-sided test: for sd > 0, src = x_d - sd < hi always
+                # (x_d <= hi - 1); for sd < 0, src = x_d + |sd| >= 0 always
+                if sd > 0:
+                    ok = src >= 0
+                else:
+                    hi = self.g0 if d == 0 else self.shape[d]
+                    ok = src < hi
                 valid = valid & ok
             inflow = jnp.where(valid, inflow, jnp.zeros((), dtype))
             ap_m = mid(ap)
@@ -448,21 +541,23 @@ class PallasBoxKernel:
                 # multi-counting across violated constraints); combos the
                 # reaction cannot violate are skipped entirely
                 tgt_view = CoordStates(
-                    [coords_m[d].astype(dtype) + float(s[d])
-                     for d in range(nd)])
+                    [coords_m[d] + int(s[d]) for d in range(nd)])
                 for cc in range(n_c):
                     if not self.sink_active[k, cc]:
                         continue
-                    v = jnp.asarray(comps[cc](tgt_view)).astype(dtype)
-                    viol = v > bounds_ref[0, cc].astype(dtype)
+                    v = jnp.asarray(comps[cc](tgt_view))
+                    viol = v > bounds_ref[0, cc]
                     sink_acc[cc] = sink_acc[cc] + c_r * jnp.sum(
-                        jnp.where(viol, ap_s, jnp.zeros((), dtype)))
+                        jnp.where(viol, ap_s, jnp.zeros((), dtype)),
+                        axis=0, keepdims=True)
         # Zero the padded tail rows so the raw padded output is exactly 0
         # beyond the box — required by the padded-layout fast path (the
         # integrators carry [rows_pad, 128] vectors whose tail must stay
         # zero for norms/dots) and harmless otherwise.
         acc = jnp.where(mid(idx_w) < self.n, acc, jnp.zeros((), dtype))
-        return acc, sink_acc
+        # lane-reduce the [1, LANES] sink partials to scalars, once per
+        # constraint (not once per combo)
+        return acc, [jnp.sum(sink_acc[cc]) for cc in range(n_c)]
 
     def _build(self):
         dtype = self.dtype

@@ -289,3 +289,67 @@ def test_padded_layout_when_n_pad_equals_n():
     d = s.solve(0.3, 0.0)           # fixed space, short horizon
     total = float(d.sum()) + float(d.sinks.sum())
     assert abs(total - 1.0) < 1e-8
+
+
+def test_pallas_lane_aligned_fast_path_matches_generic():
+    """Minor extent exactly 128 engages the lane-aligned kernel (minor
+    coordinate = lane index, carry-free flat shifts, [rows, 1] upper
+    coordinate fields).  It must agree bit-for-bit in structure with the
+    generic carry-select kernel on the same shape — single-block and
+    grid-tiled, with product constraints and in-kernel sinks."""
+    import pacmensl_tpu.ops.pallas_box as pb
+    from pacmensl_tpu.ops.pallas_box import PallasBoxKernel
+    from pacmensl_tpu.models.library import repressilator, toggle
+
+    rng = np.random.default_rng(0)
+
+    def build(mm, shape, comps, aligned, sink_active=None):
+        R = np.atleast_2d(np.asarray(mm.stoichiometry)).shape[0]
+        k = PallasBoxKernel(mm.propensity, mm.stoichiometry, shape,
+                            list(range(R)), dtype=jnp.float64,
+                            components=comps, synth_mask=True,
+                            sink_active=sink_active)
+        if not aligned:
+            k.aligned = False
+            k._fn = k._build()
+            k._call = jax.jit(k._fn)
+        return k
+
+    cases = [
+        (toggle().model, (6, 128), (4, 120),
+         (lambda x: x[:, 0], lambda x: x[:, 1],
+          lambda x: x[:, 0] * x[:, 1]), False),
+        (repressilator().model, (3, 5, 128), (2, 4, 126),
+         (lambda x: x[:, 0], lambda x: x[:, 1], lambda x: x[:, 2],
+          lambda x: x[:, 1] * x[:, 2]), False),
+        (repressilator().model, (40, 40, 128), (38, 38, 126),
+         (lambda x: x[:, 0], lambda x: x[:, 1], lambda x: x[:, 2]),
+         True),                      # force grid tiling
+    ]
+    saved = (pb.VMEM_BUDGET, pb.TILE_ROWS, pb.MAX_TILE_ROWS)
+    try:
+        for mm, shape, bounds, comps, tiled in cases:
+            if tiled:
+                pb.VMEM_BUDGET = 64 * 1024
+                pb.TILE_ROWS = 256
+                pb.MAX_TILE_ROWS = 256
+            else:
+                pb.VMEM_BUDGET, pb.TILE_ROWS, pb.MAX_TILE_ROWS = saved
+            ka = build(mm, shape, comps, True)
+            kg = build(mm, shape, comps, False)
+            assert ka.aligned and not kg.aligned
+            if tiled:
+                assert ka.grid > 1
+            n = int(np.prod(shape))
+            p = jnp.asarray(rng.random(n).reshape(shape))
+            c = jnp.asarray(np.arange(1, len(ka.reactions) + 1) * 0.5)
+            b = jnp.asarray(bounds)
+            dpa, sa = ka(c, b, p, None)
+            dpg, sg = kg(c, b, p, None)
+            np.testing.assert_allclose(np.asarray(dpa), np.asarray(dpg),
+                                       rtol=1e-12, atol=1e-13)
+            np.testing.assert_allclose(np.asarray(jnp.asarray(sa)),
+                                       np.asarray(jnp.asarray(sg)),
+                                       rtol=1e-12, atol=1e-13)
+    finally:
+        pb.VMEM_BUDGET, pb.TILE_ROWS, pb.MAX_TILE_ROWS = saved

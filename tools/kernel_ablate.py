@@ -52,13 +52,17 @@ def time_kernel(kern, c, bounds, p, mask, iters):
 
 
 def main():
-    bound = int(os.environ.get("BOUND", "140"))
+    bound = int(os.environ.get("BOUND", "127"))
     iters = int(os.environ.get("ITERS", "160"))
     log(f"device: {jax.devices()[0]}  tpu={is_tpu_device()}")
     b = pm.models.repressilator()
     bounds = np.array([bound] * 3, np.int64)
     cs = ConstraintSet(None, bounds, np.full(3, 0.2))
-    space = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+    # exact-capacity space, same as bench.py (bound 127 -> 128^3,
+    # lane-aligned kernel)
+    os.environ["PACMENSL_BOX_HEADROOM"] = "1"
+    space = BoxStateSpace(b.model.stoichiometry, cs, b.x0,
+                          prealloc_budget=2.0e8)
     op = BoxOperator(b.model, space, dtype=jnp.float32)
     n = space.num_states
     nnz = n * 7  # 6 off-diag + diag
@@ -90,7 +94,7 @@ def main():
         dt = time_kernel(k, ck, bnd, p, mask, iters)
         log(f"{name:10s}: {dt*1e6:9.1f} us/matvec  "
             f"{nnz/dt/1e9:7.1f} Gnnz/s  grid={k.grid} T={k.tile_rows} "
-            f"H={k.halo_rows}")
+            f"H={k.halo_rows} aligned={k.aligned}")
         return dt
 
     unit = lambda x, r: jnp.ones_like(x[:, 0])
