@@ -381,14 +381,23 @@ class FspSolverMultiSinks:
         # reachable set a sliver of its bounding box (transcr6d: 0.8%);
         # gate on the box being large in absolute terms so small boxes
         # never churn backends.  Fill is measured against the TIGHT
-        # bounding box of the new bounds — NOT self._space.size, whose
-        # 8x headroom padding made the repressilator (12-40% tight fill)
-        # look like a 1.5% sliver at its first expansion and migrated
-        # the flagship onto the gather backend (7x solve regression,
-        # caught in round 4).
-        tight = float(np.prod(np.asarray(box, np.float64) + 1.0))
+        # bounding box of the CURRENT bounds — NOT self._space.size,
+        # whose 8x headroom padding made the repressilator (12-40% tight
+        # fill) look like a 1.5% sliver at its first expansion and
+        # migrated the flagship onto the gather backend (7x solve
+        # regression, caught in round 4) — and NOT the post-expansion
+        # box either: the state count is pre-expansion, so a single
+        # multi-constraint expansion jump would transiently understate
+        # fill and trigger a spurious one-way migration (round-4 advisor
+        # finding).  Sliver-ness of the current set in its own tight box
+        # is the stable signal; the absolute-size gate still looks at
+        # the grown box (the one the backend would have to allocate).
+        tight_new = float(np.prod(np.asarray(box, np.float64) + 1.0))
+        box_cur = self.constraints.derive_box_bounds(
+            self.model.num_species, self._init_int)
+        tight_cur = float(np.prod(np.asarray(box_cur, np.float64) + 1.0))
         n = self._space.num_states
-        return tight > 2.0e6 and n < 0.015 * tight
+        return tight_new > 2.0e6 and n < 0.015 * tight_cur
 
     def _box_reorder_needed(self, new_bounds) -> bool:
         """True when the grown bounds outgrow the box capacity AND either

@@ -35,12 +35,25 @@ from ..fsp.distribution import DiscreteDistribution
 
 
 class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
-    """Stationary CME distribution with adaptive FSP truncation."""
+    """Stationary CME distribution with adaptive FSP truncation.
+
+    ``gmres_tol`` is a RELATIVE tolerance measured in the Jacobi-LEFT-
+    preconditioned norm ``||D^{-1} r|| <= gmres_tol * ||1_valid||`` (the
+    reference's SPGMR runs PREC_NONE, so its tolerance is on the raw
+    residual; with CME diagonals spanning ~1e4, the raw residual of a
+    solve converged here can sit orders of magnitude above the nominal
+    tolerance).  The outer sink-tolerance loop is the accuracy
+    certificate that matches the reference's; both residual norms are
+    reported on failure for diagnosability, and the unpreconditioned
+    norm of the last solve is kept in ``self.last_raw_res_norm_``.
+    """
 
     def __init__(self, backend: str = "auto", gmres_tol: float = 1.0e-12,
                  **kw):
         super().__init__(backend=backend, **kw)
         self.gmres_tol = float(gmres_tol)
+        #: unpreconditioned ||A_mod x - d|| of the most recent inner solve
+        self.last_raw_res_norm_ = float("nan")
 
     def set_model(self, model) -> "StationaryFspSolverMultiSinks":
         if model.tv_reactions:
@@ -106,10 +119,15 @@ class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
                 res = gmres(modified, b_pre, x0,
                             tol=tol_eff, atol=1e-300,
                             max_restarts=200, dtype=self.dtype)
+                # unpreconditioned residual of the returned iterate (one
+                # extra action per expansion round): D * (preconditioned
+                # residual) = (A_mod x - d) exactly, padding slots zero
+                raw_norm = jnp.linalg.norm(
+                    (modified(res.x) - b_pre) * safe_d)
                 pi = res.x / jnp.sum(res.x)
                 sinks = op.action(0.0, FspVector(
                     p=pi, sinks=jnp.zeros((n_c,), self.dtype)), data).sinks
-                return pi, sinks, res.converged, res.res_norm
+                return pi, sinks, res.converged, res.res_norm, raw_norm
 
             self._stat_jit = jax.jit(run)
             self._stat_jit_key = id(op)
@@ -128,11 +146,14 @@ class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
         with self.events.timed(EVT_TOTAL):
             while True:
                 with self.events.timed(EVT_ODESOLVE):
-                    pi, sinks, converged, rnorm = self._stationary_solve(p)
+                    pi, sinks, converged, rnorm, raw_norm = \
+                        self._stationary_solve(p)
+                self.last_raw_res_norm_ = float(jax.device_get(raw_norm))
                 if not bool(jax.device_get(converged)):
                     raise IntegratorError(
-                        f"stationary GMRES stalled (residual "
-                        f"{float(rnorm):.2e})")
+                        f"stationary GMRES stalled (preconditioned "
+                        f"residual {float(rnorm):.2e}, unpreconditioned "
+                        f"{self.last_raw_res_norm_:.2e})")
                 self.sinks_ = np.asarray(jax.device_get(sinks))
                 to_expand = self.sinks_ > sfsp_tol
                 if not to_expand.any():

@@ -96,7 +96,7 @@ def test_hog1p_5d_box_matches_ell():
     assert tv < 1e-6, tv
 
 
-def test_fill_collapse_gate_ignores_headroom_padding(monkeypatch):
+def test_fill_collapse_gate_ignores_headroom_padding():
     """Round-4 regression: the fill-collapse migration gate must measure
     fill against the TIGHT bounding box of the new bounds, not the
     headroom-padded capacity.  On chip the flagship repressilator
@@ -107,12 +107,17 @@ def test_fill_collapse_gate_ignores_headroom_padding(monkeypatch):
     _, s = _solve("box", t_final=0.1)
     assert s._backend_used == "box"
 
+    real_space = s._space
+
     class _PaddedSpace:
-        # only the attributes the gate reads
-        prealloc_budget = getattr(s._space, "prealloc_budget", None)
-        minor_limit = getattr(s._space, "minor_limit", None)
         size = 2.5e6          # 8x-headroom-padded capacity
         num_states = 36000    # ~24% fill of the tight box below
+
+        def __getattr__(self, name):
+            # delegate anything the gate reads beyond the overrides above
+            # to the real space, so a future attribute read exercises the
+            # gate instead of failing with AttributeError
+            return getattr(real_space, name)
 
     s._space = _PaddedSpace()
     # bounds whose tight box is (52,52,52) ~ 1.4e5 elements
