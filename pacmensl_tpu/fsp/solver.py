@@ -459,13 +459,25 @@ class FspSolverMultiSinks:
         old_mask = space_old.mask          # device bool, old layout
         sinks_old = self._y.sinks
 
-        self._build_space_floor = floor_new
-        try:
-            self._build_space()            # re-derives the same order o2
-        finally:
-            self._build_space_floor = None
         # transpose axes: new internal axis j <- old internal axis t[j]
         t = tuple(int(inv1[int(u)]) for u in o2)
+
+        def _seed_mask(shape_new):
+            # previous reachable set, transposed into the new layout —
+            # seeds the fresh build's BFS so it converges in a few
+            # dilations instead of ~set-diameter passes over the box
+            v = old_mask[tuple(slice(0, int(e)) for e in E1)]
+            v = jnp.transpose(v, axes=t)
+            pad = [(0, int(shape_new[j]) - int(E1[t[j]]), 0)
+                   for j in range(S)]
+            return lax.pad(v, jnp.zeros((), bool), pad)
+
+        self._build_space_floor = floor_new
+        try:
+            # re-derives the same order o2
+            self._build_space(seed_mask_fn=_seed_mask)
+        finally:
+            self._build_space_floor = None
         C2 = self._space.shape
 
         def transform(arr_box):
@@ -622,11 +634,14 @@ class FspSolverMultiSinks:
         if self.verbosity:
             print(f"[fsp] box axis order (by extent): {order.tolist()}")
 
-    def _build_space(self, extra_seeds=None):
+    def _build_space(self, extra_seeds=None, seed_mask_fn=None):
         """``extra_seeds``: additional BFS seed states in the (new)
         internal species order — the reorder rebuild passes the previous
         space's states so the fresh reachability closure provably covers
-        them (and the box derives large enough to hold them)."""
+        them (and the box derives large enough to hold them).
+        ``seed_mask_fn``: callable(shape) -> already-reachable mask at
+        the new capacity (the reorder rebuild's transposed old mask),
+        used as the first build's BFS seed."""
         if self._backend_used == "box":
             self._setup_axis_order()
             pad_quanta = None
@@ -696,7 +711,8 @@ class FspSolverMultiSinks:
                 growable_axes=growable,
                 build_on_device=on_dev,
                 minor_limit=minor_limit,
-                extent_floor=getattr(self, "_build_space_floor", None))
+                extent_floor=getattr(self, "_build_space_floor", None),
+                seed_mask_fn=seed_mask_fn)
             if self.log_events:
                 self._space.events = self.events   # MaskBFS sub-timer
         else:

@@ -224,6 +224,61 @@ class BoxOperator:
                 RuntimeWarning, stacklevel=2)
             return None
 
+    def _corner_sink_activity(self):
+        """Corner-exact sink activity for multilinear constraint sets
+        (see `_sink_activity`), or None when the multilinearity probe
+        fails.  All evaluation happens on the host CPU backend with a
+        handful of points — no device traffic."""
+        import itertools
+        from ..sys.environment import local_cpu_device
+
+        S = len(self.shape)
+        ext = np.asarray(self.shape, np.int64)
+        cpu = local_cpu_device()
+
+        with jax.default_device(cpu):
+            def vals(pts):
+                return np.asarray(jax.device_get(
+                    self._values_fn(jnp.asarray(pts, jnp.int64))),
+                    np.float64)
+
+            # --- multilinearity probe: for each axis, f restricted to
+            # the axis must be affine (zero second difference) at random
+            # base points.  Exact for polynomials (random evaluation =
+            # polynomial identity test); arbitrary smooth non-polynomials
+            # fail w.h.p. with 4 independent base points per axis.
+            rng = np.random.default_rng(0x5eed)
+            n_base = 4
+            for d in range(S):
+                e = int(ext[d])
+                if e < 3:
+                    continue        # any f is affine on <= 2 points
+                t0, t1, t2 = 0, (e - 1) // 2, e - 1
+                if t1 == t0 or t1 == t2:
+                    t1 = 1
+                z = rng.integers(0, np.maximum(ext - 1, 1),
+                                 size=(n_base, S)).astype(np.int64)
+                pts = np.repeat(z, 3, axis=0)
+                pts[0::3, d], pts[1::3, d], pts[2::3, d] = t0, t1, t2
+                v = vals(pts)                       # [3*n_base, n_c]
+                v0, v1, v2 = v[0::3], v[1::3], v[2::3]
+                lhs = (v1 - v0) * (t2 - t1)
+                rhs = (v2 - v1) * (t1 - t0)
+                scale = 1.0 + np.maximum(np.abs(lhs), np.abs(rhs))
+                if not np.all(np.abs(lhs - rhs) <= 1e-9 * scale):
+                    return None
+
+            corners = np.array(
+                list(itertools.product(*[(0, int(e) - 1) for e in ext])),
+                np.int64)                           # [2^S, S]
+            base = vals(corners)                    # [2^S, n_c]
+            rows = []
+            for r in self.enable_reactions:
+                s = np.asarray(self.model.stoichiometry[r], np.int64)
+                rows.append(np.any(vals(corners + s[None, :]) > base,
+                                   axis=0))
+        return np.stack(rows, axis=0).astype(bool)
+
     def _sink_activity(self) -> np.ndarray:
         """Structural sink sparsity [R_enabled, n_c]: combo (r, c) is
         active iff reaction r increases constraint score c somewhere in
@@ -239,6 +294,24 @@ class BoxOperator:
 
         n = self._n
         S = len(self.shape)
+
+        # Corner shortcut: when every constraint component is MULTILINEAR
+        # in the coordinates (degree <= 1 per species — true for all
+        # bundled models: coordinates, sums, pairwise products), the
+        # difference g(x) = f_c(x + s_r) - f_c(x) is multilinear too, so
+        # max over the box is attained at a CORNER: checking the 2^S box
+        # corners is exact.  Multilinearity is certified by a
+        # polynomial-identity probe (second differences along each axis
+        # at random interior points vanish); non-multilinear components
+        # fail it w.h.p. and take the full chunked box sweep below.
+        # hog1p_5d measured ~5-8 s of full-capacity device sweep per
+        # reorder rung (52.6 s MatrixGeneration total); the corner check
+        # is O(2^S * R) host evaluations — microseconds.
+        act = self._corner_sink_activity()
+        if act is not None:
+            self._sink_active_cache = act
+            return act
+
         strides = [int(np.prod(self.shape[d + 1:])) for d in range(S)]
         CH = min(n, 1 << 21)
         n_ch = -(-n // CH)

@@ -124,7 +124,8 @@ class BoxStateSpace:
                  growable_axes=None,
                  build_on_device: bool = False,
                  minor_limit: Optional[int] = None,
-                 extent_floor=None):
+                 extent_floor=None,
+                 seed_mask_fn=None):
         """``pad_quanta``: per-axis size quanta; each capacity axis is
         rounded up to a multiple of its quantum (used to make the sharded
         axis divisible by the mesh size).
@@ -177,6 +178,14 @@ class BoxStateSpace:
         self._shape = None
         self._mask_builder = None
         self._prev_mask = None      # incremental BFS seed (device or host)
+        #: optional callable(shape) -> bool mask of already-known
+        #: reachable states at the given capacity, used once as the first
+        #: build's BFS seed.  The reorder rebuild passes the previous
+        #: space's mask (transposed into the new layout): a fresh BFS
+        #: from the initial states needs ~set-diameter dilation passes
+        #: over the box, while the seeded BFS converges in a handful
+        #: (hog1p's 7 reorder rungs dominated StatePartitioning).
+        self._seed_mask_fn = seed_mask_fn
         self._build()
 
     # ------------------------------------------------------------ basics
@@ -423,6 +432,14 @@ class BoxStateSpace:
         seed_np = np.ravel_multi_index(tuple(self.init_states.T),
                                        self._shape)   # C-order, padded
         bounds_np = np.asarray(self.constraints.bounds)
+        if self._prev_mask is None and self._seed_mask_fn is not None:
+            seeded = self._seed_mask_fn(self._shape)
+            if seeded is not None:
+                self._prev_mask = (jnp.asarray(seeded, bool)
+                                   if self.build_on_device
+                                   else np.asarray(
+                                       jax.device_get(seeded), bool))
+            self._seed_mask_fn = None       # one-shot
         if self._prev_mask is None:
             if self.build_on_device:
                 self._prev_mask = jnp.zeros(self._shape, dtype=bool)

@@ -222,3 +222,42 @@ def test_ell_bucket_full_solve_matches(monkeypatch):
     d = s.solve(6.0, 1e-6)
     pdf = poisson_law.pmf(d.states[:, 0], 12.0)
     assert np.abs(d.p - pdf).sum() <= 1e-6
+
+
+def test_corner_sink_activity_matches_full_sweep():
+    """The multilinear corner shortcut for structural sink activity must
+    (a) match the full box sweep exactly on every bundled model, and
+    (b) refuse non-multilinear components (quadratic), falling back to
+    the sweep (which catches e.g. a death reaction increasing x^2 at
+    x = 0)."""
+    from pacmensl_tpu.ops.box_operator import BoxOperator
+    from pacmensl_tpu.statespace.box_space import BoxStateSpace
+    from pacmensl_tpu.statespace.constraints import ConstraintSet
+
+    for name in ("toggle", "repressilator", "hog1p_5d"):
+        b = getattr(pm.models, name)()
+        cs = ConstraintSet(b.constraint, b.bounds, b.expansion_factors)
+        sp = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+        op = BoxOperator(b.model, sp, dtype=jnp.float64, use_pallas=False)
+        corner = op._corner_sink_activity()
+        assert corner is not None, name
+        op._sink_active_cache = None
+        orig = op._corner_sink_activity
+        op._corner_sink_activity = lambda: None
+        full = op._sink_activity()
+        op._corner_sink_activity = orig
+        assert np.array_equal(corner, full), name
+
+    def quad(x):
+        return jnp.stack([x[:, 0], x[:, 1], x[:, 0] * x[:, 0]], axis=1)
+    quad.components = (lambda x: x[:, 0], lambda x: x[:, 1],
+                       lambda x: x[:, 0] * x[:, 0])
+    b = pm.models.toggle()
+    cs = ConstraintSet(quad, np.array([8, 8, 64]),
+                       np.array([0.2, 0.2, 0.2]))
+    sp = BoxStateSpace(b.model.stoichiometry, cs, b.x0)
+    op = BoxOperator(b.model, sp, dtype=jnp.float64, use_pallas=False)
+    assert op._corner_sink_activity() is None
+    full = op._sink_activity()
+    # death of species 0 increases x0^2 at x0 = 0 — only the sweep sees it
+    assert full[2, 2]
