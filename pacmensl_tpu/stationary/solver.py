@@ -49,11 +49,19 @@ class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
     """
 
     def __init__(self, backend: str = "auto", gmres_tol: float = 1.0e-12,
-                 **kw):
+                 precision: str = "native", **kw):
         super().__init__(backend=backend, **kw)
         self.gmres_tol = float(gmres_tol)
+        #: "native" = solve in the solver dtype (f64 on CPU, f32 on TPU);
+        #: "df64" = double-float emulation on the accelerator (box
+        #: backend): f64-accurate operator entries + compensated GMRES —
+        #: the path past the measured f32 wall (Jacobi-GMRES divergence
+        #: at n=96k on the repressilator).  See stationary/df64_engine.
+        self.precision = str(precision)
         #: unpreconditioned ||A_mod x - d|| of the most recent inner solve
         self.last_raw_res_norm_ = float("nan")
+        #: df64 path: host float64 stationary vector over the flat box
+        self.pi64_ = None
 
     def set_model(self, model) -> "StationaryFspSolverMultiSinks":
         if model.tv_reactions:
@@ -62,7 +70,40 @@ class StationaryFspSolverMultiSinks(FspSolverMultiSinks):
         return super().set_model(model)
 
     # ------------------------------------------------------------- solve
+    def _stationary_solve_df64(self, p_guess):
+        """Inner solve on the df64 engine (box backend only)."""
+        from .df64_engine import Df64StationaryEngine
+        if self._backend_used != "box":
+            raise SetupError(
+                "precision='df64' requires the box backend (on CPU use "
+                "dtype=float64 instead — native doubles exist there)")
+        op = self._operator
+        space = self._space
+        key = tuple(space.shape)
+        if getattr(self, "_df64_engine", None) is None \
+                or self._df64_key != key:
+            self._df64_engine = Df64StationaryEngine(
+                self._model_int, space, verbose=self.verbosity)
+            self._df64_key = key
+        eng = self._df64_engine
+        mask_host = np.asarray(jax.device_get(space.mask), bool)
+        pg = p_guess
+        if pg.ndim == 1 and getattr(op, "padded_layout", False):
+            pg = op.from_padded(pg)
+        pg = np.asarray(jax.device_get(pg), np.float32).reshape(-1)
+        pi64, converged, rnorm, raw = eng.solve(
+            pg, mask_host, gmres_tol=self.gmres_tol)
+        sinks64 = eng.sinks_host(pi64, mask_host, self.constraints)
+        self.pi64_ = pi64
+        pi = jnp.asarray(pi64.reshape(space.shape), self.dtype)
+        if getattr(op, "padded_layout", False):
+            pi = op.to_padded(pi)
+        return (pi, jnp.asarray(sinks64, self.dtype),
+                np.bool_(converged), np.float64(rnorm), np.float64(raw))
+
     def _stationary_solve(self, p_guess):
+        if self.precision == "df64":
+            return self._stationary_solve_df64(p_guess)
         """One rank-one-completed GMRES solve, normalized.
 
         The jitted program is cached per operator identity and takes the

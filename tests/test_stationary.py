@@ -70,3 +70,26 @@ def test_stationary_solve_on_mesh_matches_single_device(backend):
     d8 = solve(make_mesh())
     assert d8.num_states == d1.num_states
     np.testing.assert_allclose(d8.p, d1.p, rtol=1e-9, atol=1e-13)
+
+
+def test_df64_stationary_beats_f32_floor():
+    """precision='df64': the double-float engine must certify the
+    birth-death Poisson(10) stationary law far below the f32 residual
+    floor (native f32 plateaus near 1e-6 l1; the engine's raw residual
+    lands ~1e-13 and the l1 error is truncation-limited)."""
+    from scipy.stats import poisson as poisson_law
+
+    b = pm.models.birth_death(birth=1.0, death=0.1)
+    s = StationaryFspSolverMultiSinks(backend="box", precision="df64")
+    s.set_model(b.model)
+    s.set_initial_bounds([10])
+    s.set_expansion_factors([0.5])
+    s.set_initial_distribution(b.x0, b.p0)
+    d = s.solve(1.0e-10)
+    pdf = poisson_law.pmf(d.states[:, 0], 10.0)
+    pdf /= pdf.sum()
+    shape = s._space.shape
+    flat = np.ravel_multi_index(tuple(np.asarray(d.states).T), shape)
+    pi = s.pi64_[flat]
+    assert np.abs(pi / pi.sum() - pdf).sum() < 1e-8
+    assert s.last_raw_res_norm_ < 1e-10
