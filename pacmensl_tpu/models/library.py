@@ -522,6 +522,38 @@ def hog1p_3d_sens() -> BundledModel:
     )
 
 
+def hog1p_5d_sens() -> BundledModel:
+    """hog1p_5d as a SensModel in (trans, gamma1) — the translation rate
+    (reactions 5, 6) and the first mRNA degradation rate (reaction 7).
+    BASELINE.json config 4 names 'forward sensitivity FSP on hog1p';
+    this is the honest 5-species interpretation at the transient
+    config's protocol (examples/hog1p.cpp:150-158: t=180, tol 1e-4)."""
+    base = hog1p_5d()
+    stoich = base.model.stoichiometry
+
+    def d_prop(x, j, r):
+        xf = _f(x)
+        if j == 0 and r == 5:          # d/d trans [trans * x1]
+            return xf[:, 1]
+        if j == 0 and r == 6:          # d/d trans [trans * x2]
+            return xf[:, 2]
+        if j == 1 and r == 7:          # d/d gamma1 [gamma1 * x3]
+            return xf[:, 3]
+        return jnp.zeros_like(xf[:, 0])
+
+    m = SensModel(stoich, base.model.propensity,
+                  base.model.t_coeff, tv_reactions=(2,),
+                  num_parameters=2,
+                  d_propensity=d_prop,
+                  dprop_sparsity=((5, 6), (7,)),
+                  d_t_coeff=None, dtcoef_sparsity=())
+    return BundledModel(
+        model=m, constraint=base.constraint,
+        bounds=base.bounds, expansion_factors=base.expansion_factors,
+        x0=base.x0, p0=base.p0, name="hog1p_5d_sens",
+    )
+
+
 ALL_MODELS = {
     "toggle": toggle,
     "repressilator": repressilator,
@@ -532,4 +564,5 @@ ALL_MODELS = {
     "birth_death": birth_death,
     "telegraph": telegraph,
     "hog1p_3d_sens": hog1p_3d_sens,
+    "hog1p_5d_sens": hog1p_5d_sens,
 }

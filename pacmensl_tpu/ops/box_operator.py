@@ -238,8 +238,10 @@ class BoxOperator:
 
         with jax.default_device(cpu):
             def vals(pts):
+                # int32: extents/values here are small, and requesting
+                # int64 under a non-x64 runtime only emits a warning
                 return np.asarray(jax.device_get(
-                    self._values_fn(jnp.asarray(pts, jnp.int64))),
+                    self._values_fn(jnp.asarray(pts, jnp.int32))),
                     np.float64)
 
             # --- multilinearity probe: for each axis, f restricted to

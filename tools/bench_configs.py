@@ -72,8 +72,11 @@ def run_transcr6d(opts):
 
 def run_sens_hog1p(opts):
     """BASELINE.json config 4: forward sensitivity on hog1p (trans,
-    gamma); same t_final=180 / tol 1e-4 protocol as the plain solve."""
-    b = pm.models.hog1p_3d_sens()
+    gamma); same t_final=180 / tol 1e-4 protocol as the plain solve
+    (examples/hog1p.cpp:150-158).  Default = the honest 5-species
+    model; pass -model3d for the round-4 3-species substitution."""
+    b = (pm.models.hog1p_3d_sens() if opts.has("model3d")
+         else pm.models.hog1p_5d_sens())
     s = pm.SensFspSolverMultiSinks(odes_type="cvode")
     s.set_from_options(opts)
     s.set_model(b.model)
