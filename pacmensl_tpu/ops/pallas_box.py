@@ -157,7 +157,10 @@ def fits_vmem(shape: Tuple[int, ...], dtype, n_reactions: int,
     reactions = (list(range(n_reactions)) if enable_reactions is None
                  else list(enable_reactions))
     k_max = max_flat_shift(stoichiometry, shape, reactions)
-    return -(-k_max // LANES) + 1 <= MAX_TILE_ROWS
+    halo = -(-(-(-k_max // LANES) + 1) // 8) * 8
+    budget_rows = int(0.9 * VMEM_LIMIT) // (live * LANES * itemsize)
+    fit = ((budget_rows - 2 * halo) // 8) * 8
+    return halo <= MAX_TILE_ROWS and fit >= halo
 
 
 class CoordStates:
@@ -292,11 +295,24 @@ class PallasBoxKernel:
             halo = -(-k_max // LANES) + 1
             halo = -(-halo // 8) * 8              # sublane quantum (f32)
             self.tile_rows = min(max(TILE_ROWS, halo), MAX_TILE_ROWS)
-            if halo > self.tile_rows:
+            # The tiled kernel's live set is ~`live` window-sized
+            # [T + 2H, 128] buffers; at hog1p's largest rungs the
+            # default T=4096 with H~3800 sits within a few MB of the
+            # VMEM ceiling (a single extra live buffer faulted the
+            # device).  Shrink T so the estimated live set fits the
+            # budget with margin; if even T = H cannot fit, the shape is
+            # kernel-infeasible and the caller (fits_vmem / solver
+            # routing) must take the compressed backend instead.
+            budget_rows = int(0.9 * VMEM_LIMIT) // (
+                live * LANES * jnp.dtype(dtype).itemsize)
+            fit = ((budget_rows - 2 * halo) // 8) * 8
+            if fit >= halo:
+                self.tile_rows = min(self.tile_rows, max(fit, 8))
+            if halo > self.tile_rows or fit < halo:
                 raise ValueError(
                     f"stencil halo {halo} rows exceeds the tile budget "
-                    f"{self.tile_rows} (minor-axes product too large for "
-                    "the tiled kernel)")
+                    f"(T={self.tile_rows}, VMEM-fit {fit}; minor-axes "
+                    "product too large for the tiled kernel)")
             self.grid = -(-self.rows // self.tile_rows)
             self.halo_rows = halo
         self.n_pad = self.grid * self.tile_rows * LANES
@@ -479,20 +495,12 @@ class PallasBoxKernel:
         else:
             own_m = None
 
-        # Mask p ONCE (hoisted out of the reaction loop); propensities then
-        # multiply instead of re-selecting per reaction.  Only the leading
-        # coordinate can decode out of its range (mixed-radix structure
-        # keeps lower coordinates in [0, shape_d); see _coords), so clamp
-        # x0 before the propensity sees it: a_r evaluated at clamped
-        # coordinates is a finite in-box value, and every position where
-        # the clamp changed anything has masked p = 0 (halo-edge zeros or
-        # synthesized-mask rejects), so a_r * p_masked is exactly 0 there
-        # — no inf/nan can reach an accumulator.
-        p_masked = jnp.where(mask_b, p_w, jnp.zeros((), dtype))
-        x0c = jnp.clip(gcoords_w[0], 0, self.g0 - 1)
-        x_prop = CoordStates(
-            [x0c.astype(dtype)] + [ci.astype(dtype)
-                                   for ci in gcoords_w[1:]])
+        # NOTE a hoisted pre-masked p (one persistent window-sized VMEM
+        # buffer saving one select per reaction) was tried and reverted:
+        # hog1p's largest rungs run the tiled kernel within a few MB of
+        # the VMEM ceiling, and the extra live buffer faulted the device
+        # (round-5, t>170 rung).  The per-reaction where() stays.
+        x_prop = CoordStates([ci.astype(dtype) for ci in gcoords_w])
 
         acc = jnp.zeros((t_out, LANES), dtype)
         # Per-constraint sink partials stay [1, LANES] (sublane-reduced
@@ -504,7 +512,9 @@ class PallasBoxKernel:
         for k, r in enumerate(self.reactions):
             c_r = c_ref[0, k]
             a_r = jnp.asarray(self.propensity(x_prop, r)).astype(dtype)
-            ap = a_r * p_masked
+            # where() (not multiply) so inf/nan propensities at padded or
+            # clamped-garbage coordinates never reach the accumulators
+            ap = jnp.where(mask_b, a_r * p_w, jnp.zeros((), dtype))
             s = self.stoich[r]
             kk = int(sum(int(s[d]) * self.strides[d] for d in range(nd)))
             if self.aligned:
