@@ -427,8 +427,27 @@ class FspSolverMultiSinks:
                    for e, q, c in zip(ext, quanta, self._space.shape)]
         fresh = [rnd(int(e), int(q))
                  for e, q in zip(ext, quanta)]
-        return (float(np.prod(np.asarray(clamped, np.float64))) > budget
-                >= float(np.prod(np.asarray(fresh, np.float64))))
+        if (float(np.prod(np.asarray(clamped, np.float64))) > budget
+                >= float(np.prod(np.asarray(fresh, np.float64)))):
+            return True
+        # (c) kernel-infeasibility of the MONOTONE regrowth: the fused
+        # kernel's halo is the axis-0 stride, so a same-order regrowth
+        # whose minor product exceeds the halo budget would silently run
+        # the XLA fallback — measured to crash the device at ~47M
+        # elements (round-5 hog1p t=170.7: monotone (80,48,4,48,64) has
+        # minor 589k > the 491k limit while the fresh re-derived order
+        # (74-extent axis leading) fits with minor 327k).  Reordering is
+        # the fix whenever the fresh build is feasible; when it is not,
+        # _should_leave_box migrates to the compressed backend.
+        ml = getattr(self._space, "minor_limit", None)
+        if ml is not None and len(clamped) > 1:
+            mono_minor = float(np.prod(np.asarray(clamped[1:],
+                                                  np.float64)))
+            fresh_minor = float(np.prod(np.asarray(
+                sorted(fresh)[:-1], np.float64)))
+            if mono_minor > ml >= fresh_minor:
+                return True
+        return False
 
     def _reorder_prep(self, new_bounds):
         """Shared reorder-rebuild front half: slice old device arrays to
@@ -779,6 +798,35 @@ class FspSolverMultiSinks:
                                          use_pallas=self._pallas_mode,
                                          sink_m_floor=floor,
                                          mesh=self.mesh)
+            if self.verbosity:
+                k = getattr(self._operator, "_pallas", None)
+                cfg = (f"aligned={k.aligned} grid={k.grid} "
+                       f"T={k.tile_rows} H={k.halo_rows}"
+                       if k is not None else "XLA-fallback")
+                print(f"[fsp] box operator: capacity "
+                      f"{tuple(self._space.shape)} "
+                      f"({float(np.prod(self._space.shape)):.3g} elems) "
+                      f"{cfg}", flush=True)
+            # The XLA stencil fallback at tens-of-millions-element boxes
+            # is measured to CRASH the TPU worker (round-4/5, ~47M
+            # elements).  Routing (_should_leave_box / _box_reorder_
+            # needed condition (c)) should prevent ever building such an
+            # operator; if one slips through, fail diagnosably instead
+            # of faulting the device.
+            from ..ops.pallas_box import is_tpu_device, mesh_is_tpu
+            on_tpu = (mesh_is_tpu(self.mesh) if self.mesh is not None
+                      else is_tpu_device())
+            n_box = float(np.prod(self._space.shape))
+            if (on_tpu and self._pallas_mode is not False
+                    and getattr(self._operator, "_pallas", None) is None
+                    and n_box > 2.0e7):
+                raise StateSpaceError(
+                    f"box capacity {tuple(self._space.shape)} "
+                    f"({n_box:.3g} elements) is fused-kernel-infeasible "
+                    "(stencil halo exceeds the tile budget) and the XLA "
+                    "stencil fallback at this size crashes the device — "
+                    "the solve should have reordered axes or migrated "
+                    "to the compressed backend; this is a routing bug.")
         elif self.mesh is not None:
             # explicit halo-exchange SpMV (the reference's VecScatter plan,
             # rebuilt per epoch like its matrices)
