@@ -1254,6 +1254,10 @@ class FspSolverMultiSinks:
         return np.asarray(jax.device_get(arr))
 
     def _make_distribution(self) -> DiscreteDistribution:
+        with self.events.timed("DistributionExtract"):
+            return self._make_distribution_impl()
+
+    def _make_distribution_impl(self) -> DiscreteDistribution:
         if self._backend_used == "box":
             states = self._space.states()
             if getattr(self, "_axis_inv", None) is not None:

@@ -337,7 +337,21 @@ class BoxStateSpace:
                         hi2 = mid - 1
                 minor = minor_for(lo2)
                 mprod = float(np.prod(np.asarray(minor, np.float64)))
-                ax0 = int(target // mprod)
+                # Pour headroom into axis 0 (halo-free growth) but cap
+                # the pour at 2x need: the general water-fill spreads
+                # the 8x element headroom as ~1.5x per axis, while an
+                # uncapped axis-0 pour concentrates all of it into one
+                # axis — measured on hog1p's t=70.8 rung as a 217x40x4x
+                # 40x40 box (55.6M elements) for a 3M-element need, i.e.
+                # ~9x oversized matvecs for half the trajectory.  2x
+                # bounds the matvec overcompute at the price of
+                # axis-0-only capacity rungs (absorbed by the compile
+                # cache on repeat runs).
+                pour = min(target, max(2.0 * need,
+                                       float(np.prod(np.asarray(
+                                           self._shape or [0],
+                                           np.float64)))))
+                ax0 = int(pour // mprod)
                 ax0 = max(_round_fine(int(ext[0]),
                                       int(self.pad_quanta[0])),
                           (ax0 // int(self.pad_quanta[0]))
