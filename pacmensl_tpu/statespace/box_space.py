@@ -644,6 +644,19 @@ class BoxStateSpace:
         return out
 
     def extract_valid(self, p_box: jnp.ndarray) -> np.ndarray:
-        """Gather p at valid states, in :meth:`states` order (host)."""
+        """Gather p at valid states, in :meth:`states` order (host).
+
+        When the valid set is a minority of the capacity box, compact ON
+        DEVICE first (static-size nonzero over the mask, C-order — the
+        same order as the host boolean index) and fetch only the valid
+        values: through a tunneled chip the device_get is
+        bandwidth-bound, and hog1p's final extraction (21.5M states in a
+        55M box) measured 38-66 s fetching the whole padded box."""
+        n = self.num_states
+        n_box = int(np.prod(self._shape))
+        if isinstance(p_box, jnp.ndarray) and n < 0.6 * n_box:
+            idx = jnp.nonzero(self.mask.reshape(-1), size=n)[0]
+            vals = jnp.take(p_box.reshape(-1), idx)
+            return np.asarray(jax.device_get(vals))
         p = np.asarray(jax.device_get(p_box)).reshape(-1)
         return p[self.mask_host.reshape(-1)]
