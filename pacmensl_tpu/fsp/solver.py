@@ -51,6 +51,21 @@ from ..solvers.bdf import BdfSolver
 from .distribution import DiscreteDistribution
 
 
+def _hbm_note() -> str:
+    """Short device-memory string for verbose telemetry (empty when the
+    backend exposes no stats — e.g. CPU)."""
+    try:
+        st = jax.devices()[0].memory_stats()
+        used = st.get("bytes_in_use")
+        lim = st.get("bytes_limit")
+        if used is None:
+            return ""
+        s = f"  hbm={used/2**30:.2f}G"
+        return s + (f"/{lim/2**30:.1f}G" if lim else "")
+    except Exception:
+        return ""
+
+
 class FspSolverMultiSinks:
     """Transient CME solver with multi-sink adaptive FSP truncation."""
 
@@ -561,7 +576,22 @@ class FspSolverMultiSinks:
                                        False):
             p_dev = self._operator.from_padded(p_dev)
         p_vals = self._space.extract_valid(p_dev)   # host, states() order
-        sinks_old = self._y.sinks
+        sinks_old = np.asarray(jax.device_get(self._y.sinks))
+        # Drop every box-phase device reference (solution vector, space
+        # masks, operator data) and the jit executables that captured
+        # them, THEN build the compressed backend: the box phase leaves
+        # tens-of-millions-element buffers plus per-capacity compiled
+        # programs on the device, and the migrated solve crashed the TPU
+        # worker at ~1M ELL states while a fresh solve at the same rung
+        # was fine — device-memory pressure from the dead box phase is
+        # the distinguishing factor.  Recompiles after the clear are
+        # absorbed by the persistent compile cache.
+        self._y = None
+        self._space = None
+        self._operator = None
+        self._ode_solver = None
+        p_dev = None
+        jax.clear_caches()
         self._backend_used = "ell"
         if getattr(self, "_axis_inv", None) is not None:
             # leave the box's internal species order: the ELL backend
@@ -583,7 +613,7 @@ class FspSolverMultiSinks:
         # solution as a flat [n] vector in insertion order (the ELL expand
         # scatter below re-maps it into the padded layout)
         self._y = FspVector(p=jnp.asarray(p_vals[order], self.dtype),
-                            sinks=sinks_old)
+                            sinks=jnp.asarray(sinks_old, self.dtype))
 
     def set_up(self) -> "FspSolverMultiSinks":
         if self.model is None:
@@ -806,7 +836,7 @@ class FspSolverMultiSinks:
                 print(f"[fsp] box operator: capacity "
                       f"{tuple(self._space.shape)} "
                       f"({float(np.prod(self._space.shape)):.3g} elems) "
-                      f"{cfg}", flush=True)
+                      f"{cfg}{_hbm_note()}", flush=True)
             # The XLA stencil fallback at tens-of-millions-element boxes
             # is measured to CRASH the TPU worker (round-4/5, ~47M
             # elements).  Routing (_should_leave_box / _box_reorder_
@@ -972,7 +1002,8 @@ class FspSolverMultiSinks:
                 self._rebuild_box_reordered(new_bounds, n_before,
                                             to_expand)
             if self.verbosity:
-                print(f"[fsp] new state count: {self.num_states}")
+                print(f"[fsp] new state count: {self.num_states}"
+                      f"{_hbm_note()}")
             return
         with self.events.timed(EVT_PARTITION):
             if self._backend_used == "box":
@@ -1054,7 +1085,8 @@ class FspSolverMultiSinks:
                         jnp.asarray(idx)].set(p_old[:n_old])
                 self._y = self._place(FspVector(p=p_new, sinks=sinks_old))
         if self.verbosity:
-            print(f"[fsp] new state count: {self.num_states}")
+            print(f"[fsp] new state count: {self.num_states}"
+                  f"{_hbm_note()}")
 
     def _escalate_if_stuck(self, n_before: int, to_expand) -> None:
         """If growing the flagged bounds added no states, grow *all*
