@@ -44,7 +44,8 @@ from ..statespace.partitioner import PartitioningType, PartitioningApproach
 from ..ops.box_operator import BoxOperator
 from ..ops.ell_operator import EllOperator
 from ..ops.vecops import FspVector
-from ..solvers.base import ODESolverType, STATUS_OK, STATUS_FSP_STOP
+from ..solvers.base import (ODESolverType, STATUS_OK, STATUS_FSP_STOP,
+                            STATUS_CONTINUE)
 from ..solvers.krylov import KrylovSolver
 from ..solvers.rk import RKSolver
 from ..solvers.bdf import BdfSolver
@@ -1187,6 +1188,25 @@ class FspSolverMultiSinks:
                                        data=self._operator_data(),
                                        stop_aux=forgiven)
                     status = int(res.status)
+                    # per-dispatch matvec budget exhausted: resume from
+                    # (t, y) — bounds every device dispatch's wall time
+                    # (a single multi-minute dispatch kills the tunneled
+                    # TPU worker); a resume that does not advance t is a
+                    # wedged integrator and fails diagnosably instead
+                    stalled = 0
+                    t_res = float(res.t)
+                    while status == STATUS_CONTINUE:
+                        res = solver.solve(res.y, t_res, t_final,
+                                           data=self._operator_data(),
+                                           stop_aux=forgiven)
+                        status = int(res.status)
+                        t_prev, t_res = t_res, float(res.t)
+                        stalled = stalled + 1 if t_res <= t_prev else 0
+                        if stalled >= 3:
+                            raise IntegratorError(
+                                f"integrator wedged at t = {t_res} "
+                                "(3 consecutive zero-advance dispatch "
+                                "budgets)")
                 if status not in (STATUS_OK, STATUS_FSP_STOP):
                     raise IntegratorError(
                         f"ODE solver failed (status {status}) at "

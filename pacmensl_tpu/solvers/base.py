@@ -159,7 +159,23 @@ class SolveResult(NamedTuple):
     trace: Optional[DeviceStepTrace] = None
 
 
-# Status codes (reference OdeSolverBase.h:114)
+# Status codes (reference OdeSolverBase.h:114).  STATUS_CONTINUE is an
+# addition with no reference analogue: one jitted solve call is one
+# device DISPATCH, and through a tunneled TPU a dispatch running many
+# minutes gets its worker killed ("TPU worker crashed") — observed on
+# transcr6d's final ~1M-state epoch (t=204 -> 300 in one dispatch).
+# Integrators therefore budget matvecs per dispatch and return
+# STATUS_CONTINUE with a resumable (t, y); the driver loops.
 STATUS_OK = 0
 STATUS_FSP_STOP = 1
 STATUS_FAILURE = -1
+STATUS_CONTINUE = 2
+
+
+def mv_per_dispatch_default() -> int:
+    """Matvec budget per jitted integrator dispatch (0 = unbounded).
+    4096 matvecs ~ 20 s at the largest measured box (55M elements,
+    ~5 ms/matvec) — safely under any RPC deadline — while normal epochs
+    (~100 matvecs) never trip it."""
+    import os
+    return int(os.environ.get("PACMENSL_MV_PER_DISPATCH", "4096"))

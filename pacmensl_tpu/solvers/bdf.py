@@ -32,7 +32,8 @@ from ..ops.gmres import gmres
 from .base import (layout2d_adapter,
                    wrap_stop_check, make_trace, trace_record,
                    MatVec, StopCheck, SolveResult, SolveStats,
-                   STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE)
+                   STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE,
+                   STATUS_CONTINUE, mv_per_dispatch_default)
 
 MAX_ORDER = 5
 ND = MAX_ORDER + 3          # difference-array slots
@@ -75,6 +76,7 @@ class BdfSolver:
                  gmres_restart: int = 16,
                  gmres_tol: Optional[float] = None,
                  max_steps: int = 10_000_000,
+                 mv_per_dispatch: Optional[int] = None,
                  stop_check: Optional[StopCheck] = None,
                  trace_cap: int = 4096,
                  dtype=None):
@@ -89,6 +91,10 @@ class BdfSolver:
         self.gmres_tol = float(gmres_tol if gmres_tol is not None
                                else (1.0e-5 if f32 else 1.0e-10))
         self.max_steps = int(max_steps)
+        # matvec budget per jitted dispatch (see base.STATUS_CONTINUE)
+        spd = (mv_per_dispatch if mv_per_dispatch is not None
+               else mv_per_dispatch_default())
+        self.mv_per_dispatch = int(spd) if spd else (1 << 62)
         self.trace_cap = int(trace_cap)
         self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
@@ -324,10 +330,11 @@ class BdfSolver:
                     n_steps, n_rej, n_mv, stop, n_consec, viol, tr)
 
         def cond(carry):
-            t, status, n_steps, n_rej, stop = \
-                carry[1], carry[5], carry[6], carry[7], carry[9]
+            t, status, n_steps, n_rej, n_mv, stop = \
+                carry[1], carry[5], carry[6], carry[7], carry[8], carry[9]
             return (t < t_final) & (status == STATUS_OK) & (stop == 0) & \
-                (n_steps + n_rej < self.max_steps)
+                (n_steps + n_rej < self.max_steps) & \
+                (n_mv < self.mv_per_dispatch)
 
         carry0 = (D0, t0, h0, jnp.asarray(1, jnp.int32),
                   jnp.asarray(0, jnp.int32),
@@ -341,9 +348,13 @@ class BdfSolver:
          _n_consec, viol, tr) = lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
-        # exhausted the step budget without reaching t_final: fatal
+        # exhausted the per-dispatch budget without reaching t_final:
+        # resumable — the driver re-dispatches from (t, y) (see
+        # base.STATUS_CONTINUE; the old fatal-at-max_steps semantics
+        # only applied to pathological runs and the driver now detects
+        # non-advancing resume loops instead)
         status = jnp.where((status == STATUS_OK) & (t < t_final),
-                           STATUS_FAILURE, status)
+                           STATUS_CONTINUE, status)
         return SolveResult(y=restore(vo.basis_get(D, 0)), t=t,
                            status=status,
                            stats=SolveStats(n_steps, n_rej, n_mv),

@@ -43,6 +43,7 @@ from ..ops import vecops as vo
 from .base import (MatVec, StopCheck, SolveResult, SolveStats,
                    layout2d_adapter,
                    STATUS_OK, STATUS_FSP_STOP, STATUS_FAILURE,
+                   STATUS_CONTINUE, mv_per_dispatch_default,
                    wrap_stop_check, make_trace, trace_record)
 
 
@@ -61,6 +62,7 @@ class KrylovSolver:
                  gamma: float = 0.9,
                  max_reject: int = 100,
                  max_steps: int = 1_000_000,
+                 mv_per_dispatch=None,
                  rhs_cost: float = 1.0e4,
                  stop_check: Optional[StopCheck] = None,
                  trace_cap: int = 4096,
@@ -82,6 +84,10 @@ class KrylovSolver:
         self.gamma = float(gamma)
         self.max_reject = int(max_reject)
         self.max_steps = int(max_steps)
+        # matvec budget per jitted dispatch (see base.STATUS_CONTINUE)
+        spd = (mv_per_dispatch if mv_per_dispatch is not None
+               else mv_per_dispatch_default())
+        self.mv_per_dispatch = int(spd) if spd else (1 << 62)
         self.rhs_cost = float(rhs_cost)
         self.trace_cap = int(trace_cap)
         self.stop_check = wrap_stop_check(stop_check)
@@ -348,10 +354,11 @@ class KrylovSolver:
                     status, n_steps + 1, n_rej, n_mv, stop, viol, tr)
 
         def cond(carry):
-            t_now, status, n_steps, stop = \
-                carry[1], carry[5], carry[6], carry[9]
+            t_now, status, n_steps, n_mv, stop = \
+                carry[1], carry[5], carry[6], carry[8], carry[9]
             return (t_now < t_final) & (status == STATUS_OK) & \
-                (stop == 0) & (n_steps < self.max_steps)
+                (stop == 0) & (n_steps < self.max_steps) & \
+                (n_mv < self.mv_per_dispatch)
 
         carry0 = (y0, t0, jnp.asarray(0.0, dtype),
                   jnp.asarray(self.m_min, jnp.int32), jnp.bool_(False),
@@ -364,8 +371,10 @@ class KrylovSolver:
             lax.while_loop(cond, step, carry0)
         status = jnp.where((status == STATUS_OK) & (stop == 1),
                            STATUS_FSP_STOP, status)
+        # budget exhausted without reaching t_final: resumable (see
+        # base.STATUS_CONTINUE)
         status = jnp.where((status == STATUS_OK) & (t < t_final),
-                           STATUS_FAILURE, status)
+                           STATUS_CONTINUE, status)
         return SolveResult(y=restore(y), t=t, status=status,
                            stats=SolveStats(n_steps, n_rej, n_mv),
                            viol_excess=viol, trace=tr)
