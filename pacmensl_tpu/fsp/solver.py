@@ -977,6 +977,14 @@ class FspSolverMultiSinks:
         matrices every time, but a PETSc re-assembly is milliseconds while
         an XLA recompile is seconds, so here bound growth within capacity
         only updates the operator *data*)."""
+        def sync_note(tag):
+            # verbosity>=2: device-order barrier + marker, to attribute
+            # an async "TPU worker crashed" fault to the phase that
+            # actually dispatched the faulting program
+            if self.verbosity >= 2:
+                jnp.zeros(()).block_until_ready()
+                print(f"[fsp-sync] {tag} ok", flush=True)
+
         new_bounds = self.constraints.expanded_bounds(to_expand)
         for _ in range(rounds - 1):      # escalated growth (thrash guard)
             new_bounds = self.constraints.with_bounds(
@@ -1021,6 +1029,7 @@ class FspSolverMultiSinks:
                 self._space.expand(old_bounds=bounds_old)
                 self._escalate_if_stuck(n_before, to_expand)
                 self._maybe_partition()
+                sync_note("ell-expand+partition")
         if self._backend_used != "box":
             # in-place re-assembly at laddered capacity: shapes (and hence
             # the compiled solve) survive most epochs; only ladder rungs
@@ -1033,6 +1042,7 @@ class FspSolverMultiSinks:
                     capacity_grew = True
                 else:
                     capacity_grew = self._operator.reassemble()
+            sync_note("ell-matgen")
             if capacity_grew:
                 self._ode_solver = None
         elif capacity_grew:
@@ -1085,6 +1095,7 @@ class FspSolverMultiSinks:
                     p_new = jnp.zeros((n_pad,), self.dtype).at[
                         jnp.asarray(idx)].set(p_old[:n_old])
                 self._y = self._place(FspVector(p=p_new, sinks=sinks_old))
+        sync_note("scatter")
         if self.verbosity:
             print(f"[fsp] new state count: {self.num_states}"
                   f"{_hbm_note()}")
@@ -1149,6 +1160,8 @@ class FspSolverMultiSinks:
                     self._ode_solver = self._make_ode_solver(
                         fsp_tol, t_final)
                     self._ode_solver_key = solver_key
+                    # new shapes -> per-matvec cost changed: re-measure
+                    self._mv_budget = 0
                 solver = self._ode_solver
                 if fsp_tol > 0:
                     t_fg = time.perf_counter()
@@ -1184,22 +1197,49 @@ class FspSolverMultiSinks:
                 else:
                     forgiven = None
                 with self.events.timed(EVT_ODESOLVE):
-                    res = solver.solve(self._y, self._t_now, t_final,
-                                       data=self._operator_data(),
-                                       stop_aux=forgiven)
-                    status = int(res.status)
-                    # per-dispatch matvec budget exhausted: resume from
-                    # (t, y) — bounds every device dispatch's wall time
-                    # (a single multi-minute dispatch kills the tunneled
-                    # TPU worker); a resume that does not advance t is a
-                    # wedged integrator and fails diagnosably instead
+                    # Adaptive per-dispatch matvec budget: one jitted
+                    # solve call is one device dispatch, and a dispatch
+                    # running minutes kills the tunneled TPU worker
+                    # (measured: transcr6d's ~50 ms/matvec ELL phase at
+                    # a 4096-matvec budget = 3-4 min dispatches, worker
+                    # killed deterministically).  Start small, measure
+                    # the per-matvec wall of each dispatch, and size the
+                    # next for ~PACMENSL_DISPATCH_TARGET_S seconds.
+                    import os as _os
+                    target_s = float(_os.environ.get(
+                        "PACMENSL_DISPATCH_TARGET_S", "20"))
+
+                    def dispatch(y, t0):
+                        budget = int(getattr(self, "_mv_budget", 0)
+                                     or 256)
+                        tw = time.perf_counter()
+                        r = solver.solve(y, t0, t_final,
+                                         data=self._operator_data(),
+                                         stop_aux=forgiven,
+                                         mv_budget=budget)
+                        st, nmv = (int(v) for v in jax.device_get(
+                            (r.status, r.stats.n_matvecs)))
+                        wall = time.perf_counter() - tw
+                        rate = wall / max(nmv, 1)
+                        cap = getattr(solver, "mv_per_dispatch", 1 << 30)
+                        self._mv_budget = int(np.clip(
+                            target_s / max(rate, 1e-7), 64, cap))
+                        if self.verbosity >= 2:
+                            print(f"[fsp-sync] integrate chunk "
+                                  f"t={float(r.t):.4g} status={st} "
+                                  f"nmv={nmv} wall={wall:.1f}s "
+                                  f"next_budget={self._mv_budget}",
+                                  flush=True)
+                        return r, st
+
+                    res, status = dispatch(self._y, self._t_now)
+                    # budget exhausted: resume from (t, y); a resume
+                    # that does not advance t is a wedged integrator
+                    # and fails diagnosably instead
                     stalled = 0
                     t_res = float(res.t)
                     while status == STATUS_CONTINUE:
-                        res = solver.solve(res.y, t_res, t_final,
-                                           data=self._operator_data(),
-                                           stop_aux=forgiven)
-                        status = int(res.status)
+                        res, status = dispatch(res.y, t_res)
                         t_prev, t_res = t_res, float(res.t)
                         stalled = stalled + 1 if t_res <= t_prev else 0
                         if stalled >= 3:

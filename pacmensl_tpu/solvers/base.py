@@ -173,9 +173,9 @@ STATUS_CONTINUE = 2
 
 
 def mv_per_dispatch_default() -> int:
-    """Matvec budget per jitted integrator dispatch (0 = unbounded).
-    4096 matvecs ~ 20 s at the largest measured box (55M elements,
-    ~5 ms/matvec) — safely under any RPC deadline — while normal epochs
-    (~100 matvecs) never trip it."""
+    """CAP on the matvec budget per jitted integrator dispatch (0 =
+    unbounded).  The FSP driver adapts the actual per-dispatch budget to
+    the measured per-matvec wall (targeting ~20 s per dispatch); this
+    cap bounds direct solver users and the adaptive controller alike."""
     import os
-    return int(os.environ.get("PACMENSL_MV_PER_DISPATCH", "4096"))
+    return int(os.environ.get("PACMENSL_MV_PER_DISPATCH", "65536"))

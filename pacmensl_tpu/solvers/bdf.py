@@ -99,14 +99,16 @@ class BdfSolver:
         self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
-    def solve(self, y0, t0, t_final, data=None, stop_aux=None
-              ) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None, stop_aux=None,
+              mv_budget=None) -> SolveResult:
         """``data``: optional pytree forwarded to ``matvec(t, y, data)``
         so compiled programs stay valid across FSP expansion epochs;
         ``stop_aux`` likewise for the stop-check."""
+        b = self.mv_per_dispatch if mv_budget is None else int(mv_budget)
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
                                jnp.asarray(t_final, self.dtype), data,
-                               stop_aux)
+                               stop_aux,
+                               jnp.asarray(min(b, 1 << 30), jnp.int32))
 
     def _mv(self, data):
         if data is None:
@@ -124,7 +126,8 @@ class BdfSolver:
         return jnp.sqrt(tot / n)
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final, data=None, stop_aux=None):
+    def _solve(self, y0, t0, t_final, data=None, stop_aux=None,
+               mv_budget=None):
         dtype = self.dtype
         mv = self._mv(data)
 
@@ -334,7 +337,7 @@ class BdfSolver:
                 carry[1], carry[5], carry[6], carry[7], carry[8], carry[9]
             return (t < t_final) & (status == STATUS_OK) & (stop == 0) & \
                 (n_steps + n_rej < self.max_steps) & \
-                (n_mv < self.mv_per_dispatch)
+                (n_mv < mv_budget)
 
         carry0 = (D0, t0, h0, jnp.asarray(1, jnp.int32),
                   jnp.asarray(0, jnp.int32),

@@ -94,16 +94,18 @@ class KrylovSolver:
         self._solve_jit = jax.jit(self._solve)
 
     # ------------------------------------------------------------------
-    def solve(self, y0, t0, t_final, data=None, stop_aux=None
-              ) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None, stop_aux=None,
+              mv_budget=None) -> SolveResult:
         """``data``: optional pytree forwarded to ``matvec(t, y, data)``.
         Passing epoch-dependent operator data here (instead of closing
         over it) keeps the compiled program valid across FSP expansion
         epochs at fixed capacity.  ``stop_aux``: pytree forwarded to the
         stop-check, same epoch-stability rationale."""
+        b = self.mv_per_dispatch if mv_budget is None else int(mv_budget)
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
                                jnp.asarray(t_final, self.dtype), data,
-                               stop_aux)
+                               stop_aux,
+                               jnp.asarray(min(b, 1 << 30), jnp.int32))
 
     def _mv(self, data):
         if data is None:
@@ -154,7 +156,8 @@ class KrylovSolver:
         return Vm, Hm, mb, k1, nmv, finite
 
     # ------------------------------------------------------------------
-    def _solve(self, y0, t0, t_final, data=None, stop_aux=None):
+    def _solve(self, y0, t0, t_final, data=None, stop_aux=None,
+               mv_budget=None):
         dtype = self.dtype
         M1 = self.m_max + 1
         mv = self._mv(data)
@@ -358,7 +361,7 @@ class KrylovSolver:
                 carry[1], carry[5], carry[6], carry[8], carry[9]
             return (t_now < t_final) & (status == STATUS_OK) & \
                 (stop == 0) & (n_steps < self.max_steps) & \
-                (n_mv < self.mv_per_dispatch)
+                (n_mv < mv_budget)
 
         carry0 = (y0, t0, jnp.asarray(0.0, dtype),
                   jnp.asarray(self.m_min, jnp.int32), jnp.bool_(False),

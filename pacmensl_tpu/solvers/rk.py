@@ -73,11 +73,14 @@ class RKSolver:
         self.stop_check = wrap_stop_check(stop_check)
         self._solve_jit = jax.jit(self._solve)
 
-    def solve(self, y0, t0, t_final, data=None, stop_aux=None
-              ) -> SolveResult:
+    def solve(self, y0, t0, t_final, data=None, stop_aux=None,
+              mv_budget=None) -> SolveResult:
         """``data``: optional pytree forwarded to ``matvec(t, y, data)``
         so compiled programs stay valid across FSP expansion epochs;
-        ``stop_aux`` likewise for the stop-check."""
+        ``stop_aux`` likewise for the stop-check.  ``mv_budget`` is
+        accepted for driver-interface parity and ignored (the explicit
+        RK backends are cross-check integrators, not the production path
+        for long dispatches)."""
         return self._solve_jit(y0, jnp.asarray(t0, self.dtype),
                                jnp.asarray(t_final, self.dtype), data,
                                stop_aux)
