@@ -22,6 +22,7 @@ mirroring the reference's matrix destroy + regenerate per expansion.
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, List, Optional, Sequence, Union
 
@@ -241,6 +242,7 @@ class FspSolverMultiSinks:
     def set_load_balancing_method(self, ptype) -> "FspSolverMultiSinks":
         self.partitioning = (ptype if isinstance(ptype, PartitioningType)
                              else PartitioningType.from_string(str(ptype)))
+        self._partitioning_user_set = True
         return self
 
     def set_repart_approach(self, approach) -> "FspSolverMultiSinks":
@@ -394,26 +396,28 @@ class FspSolverMultiSinks:
             if float(np.prod(np.asarray(minor, np.float64))) > ml:
                 return True
         # Fill collapse: conservation laws / gated shapes can make the
-        # reachable set a sliver of its bounding box (transcr6d: 0.8%);
-        # gate on the box being large in absolute terms so small boxes
-        # never churn backends.  Fill is measured against the TIGHT
-        # bounding box of the CURRENT bounds — NOT self._space.size,
-        # whose 8x headroom padding made the repressilator (12-40% tight
-        # fill) look like a 1.5% sliver at its first expansion and
-        # migrated the flagship onto the gather backend (7x solve
-        # regression, caught in round 4) — and NOT the post-expansion
-        # box either: the state count is pre-expansion, so a single
-        # multi-constraint expansion jump would transiently understate
-        # fill and trigger a spurious one-way migration (round-4 advisor
-        # finding).  Sliver-ness of the current set in its own tight box
-        # is the stable signal; the absolute-size gate still looks at
-        # the grown box (the one the backend would have to allocate).
+        # reachable set a sliver of its bounding box.  The threshold is
+        # set by MEASURED per-nnz costs, not intuition: the fused box
+        # kernel moves ~0.03 ns per PADDED element while any TPU gather
+        # path costs ~7 ns per nonzero (chip-measured round 5; XLA
+        # element gather and scatter are latency-bound), so with ~R nnz
+        # per state the dense box out-computes the compressed backend
+        # down to ~0.05-0.1% fill — the memory budget (checked above),
+        # not compute, is the box's real limit.  Round 4's 1.5%
+        # threshold migrated transcr6d's 1.2%-fill solve onto the
+        # gather backend and its ODE phase averaged 289 ms/matvec; the
+        # same operator on the box backend is ~0.6 ms.  Fill is
+        # measured against the TIGHT box of the CURRENT bounds (not
+        # headroom-padded capacity, not the post-expansion box — see
+        # round-4 regression + advisor finding).
+        fill_floor = float(os.environ.get("PACMENSL_BOX_FILL_FLOOR",
+                                          "0.001"))
         tight_new = float(np.prod(np.asarray(box, np.float64) + 1.0))
         box_cur = self.constraints.derive_box_bounds(
             self.model.num_species, self._init_int)
         tight_cur = float(np.prod(np.asarray(box_cur, np.float64) + 1.0))
         n = self._space.num_states
-        return tight_new > 2.0e6 and n < 0.015 * tight_cur
+        return tight_new > 2.0e6 and n < fill_floor * tight_cur
 
     def _box_reorder_needed(self, new_bounds) -> bool:
         """True when the grown bounds outgrow the box capacity AND either
@@ -799,13 +803,30 @@ class FspSolverMultiSinks:
         if not force and n <= self.lb_threshold * last:
             return False
         self._n_last_partition = n
-        if self.partitioning == PartitioningType.BLOCK:
-            return False         # insertion order IS the BLOCK layout
+        # Effective method: on the compressed TPU backend the locality
+        # (bandwidth-reducing) ordering is a prerequisite of the
+        # bucket-shift gather — WITHOUT it the gather offsets scatter
+        # and the residue swallows ~95% of the nonzeros (measured:
+        # insertion-order flagship set rem_pad 2.07M of 2.17M nnz,
+        # 31.8 ms/matvec of scatter; transcr6d's migrated phase averaged
+        # 289 ms/matvec).  So BLOCK (the reference's default, cheap on
+        # CPU sparse rows) upgrades to GRAPH here unless the user asked
+        # for BLOCK explicitly; and the ordering applies at ONE part
+        # too — it serves the gather structure, not just shard balance.
+        ptype = self.partitioning
+        if ptype == PartitioningType.BLOCK:
+            if getattr(self, "_partitioning_user_set", False) \
+                    or self._backend_used != "ell":
+                return False     # insertion order IS the BLOCK layout
+            from ..ops.pallas_box import is_tpu_device, mesh_is_tpu
+            on_tpu = (mesh_is_tpu(self.mesh) if self.mesh is not None
+                      else is_tpu_device())
+            if not on_tpu:
+                return False     # CPU gathers are cheap; keep reference
+            ptype = PartitioningType.GRAPH
         n_parts = self.mesh.devices.size if self.mesh is not None else 1
-        if n_parts <= 1:
-            return False         # reference: single rank never rebalances
         from ..statespace.partitioner import StatePartitioner
-        part = StatePartitioner(self.partitioning, self.repart_approach)
+        part = StatePartitioner(ptype, self.repart_approach)
         prev = (np.arange(n)
                 if self.repart_approach != PartitioningApproach.FROMSCRATCH
                 else None)
@@ -815,7 +836,7 @@ class FspSolverMultiSinks:
         self._space.reorder(res.order)
         if self.verbosity:
             print(f"[fsp] re-partitioned {n} states "
-                  f"({self.partitioning.value}/{self.repart_approach.value})")
+                  f"({ptype.value}/{self.repart_approach.value})")
         return True
 
     def _build_operator(self):

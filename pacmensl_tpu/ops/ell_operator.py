@@ -68,6 +68,7 @@ class EllOpData(NamedTuple):
     sink_bits: jnp.ndarray  # [R, n_pad] uint32 packed violated-constraints
     offsets: jnp.ndarray      # [R, n_pad] int32 src_idx - row (0 on pad)
     bucket_delta: jnp.ndarray  # [R, K] int32 top-K offsets per reaction
+    bucket_id: jnp.ndarray    # [R, n_pad] int8 bucket index (K = residue)
     rem_row: jnp.ndarray      # [M_pad] int32 destination rows (residue)
     rem_src: jnp.ndarray      # [M_pad] int32 gather sources
     rem_val: jnp.ndarray      # [M_pad] a_r(x - s_r) * c-index weight, 0 pad
@@ -106,8 +107,12 @@ class EllOperator:
         grew = self.n_states > self.n_pad
         if grew:
             self.n_pad = _capacity_ladder(self.n_states, self._pad_quantum)
+        old_buckets = getattr(self, "bucket_static", None)
         self._assemble()
-        return grew
+        # the static roll shifts are baked into compiled programs: a
+        # changed bucket set invalidates them like a shape change
+        return grew or (old_buckets is not None
+                        and old_buckets != self.bucket_static)
 
     def _assemble(self):
         states = self.state_set.states            # [n, S] host
@@ -173,13 +178,14 @@ class EllOperator:
         self.diag_val = jnp.asarray(diag_val, self.dtype)
         self.sink_bits = jnp.asarray(sink_bits)
         self._nnz = int((off_val != 0).sum() + n)
-        (offsets, bucket_delta, rem_row, rem_src, rem_val, rem_rid) = \
-            self._build_buckets(src_idx, off_val, n)
+        (offsets, bucket_delta, bucket_id, rem_row, rem_src, rem_val,
+         rem_rid) = self._build_buckets(src_idx, off_val, n)
         self._data = EllOpData(src_idx=self.src_idx, off_val=self.off_val,
                                diag_val=self.diag_val,
                                sink_bits=self.sink_bits,
                                offsets=jnp.asarray(offsets),
                                bucket_delta=jnp.asarray(bucket_delta),
+                               bucket_id=jnp.asarray(bucket_id),
                                rem_row=jnp.asarray(rem_row),
                                rem_src=jnp.asarray(rem_src),
                                rem_val=jnp.asarray(rem_val, self.dtype),
@@ -200,6 +206,8 @@ class EllOperator:
         rows = np.arange(n_pad, dtype=np.int64)
         offsets = np.zeros((R, n_pad), np.int32)
         bucket_delta = np.zeros((R, K), np.int32)
+        bucket_id = np.full((R, n_pad), K, np.int8)
+        static = []
         rem_r, rem_s, rem_v, rem_id = [], [], [], []
         for r in range(R):
             active = off_val[r] != 0
@@ -208,6 +216,10 @@ class EllOperator:
             if active.any():
                 vals, counts = np.unique(offs[active], return_counts=True)
                 top = vals[np.argsort(counts)[::-1][:K]]
+                # ascending order: the bucket SET is what the compiled
+                # static-roll program bakes in; sorting keeps it stable
+                # across epochs whose top-K membership is unchanged
+                top = np.sort(top)
             else:
                 top = np.zeros(0, np.int64)
             # pad unused buckets with the first delta (duplicate buckets
@@ -216,6 +228,9 @@ class EllOperator:
             bd = np.full(K, n_pad, np.int64)
             bd[:top.shape[0]] = top
             bucket_delta[r] = bd.astype(np.int32)
+            static.append(tuple(int(v) for v in top))
+            for k in range(top.shape[0]):
+                bucket_id[r][active & (offs == top[k])] = k
             in_bucket = np.isin(offs, top) & active
             res = active & ~in_bucket
             if res.any():
@@ -240,7 +255,14 @@ class EllOperator:
             rem_val[o:o + rr.size] = vv
             rem_rid[o:o + rr.size] = ii
             o += rr.size
-        return offsets, bucket_delta, rem_row, rem_src, rem_val, rem_rid
+        #: static per-reaction bucket deltas, baked into the compiled
+        #: action as STATIC roll shifts (a dynamic jnp.roll on TPU
+        #: measured 107.9 ms/matvec at 1.55M pad -- ~17x slower than its
+        #: two-slice traffic model; static rotates run at HBM speed).
+        #: reassemble() reports a change as program-invalidating.
+        self.bucket_static = tuple(static)
+        return (offsets, bucket_delta, bucket_id, rem_row, rem_src,
+                rem_val, rem_rid)
 
     def data(self) -> EllOpData:
         """Epoch data to thread through jitted solves as an argument."""
@@ -275,18 +297,28 @@ class EllOperator:
             # reads only land on rows whose off_val mask is zero (every
             # active row's true source is in range), so wrap needs no
             # special handling.
+            # STATIC roll shifts (self.bucket_static, baked at trace
+            # time; see _build_buckets) deduplicated across reactions:
+            # each distinct delta rolls p ONCE and serves every
+            # (reaction, bucket) pair using it.  Wrapped reads only land
+            # on rows whose bucket_id does not match (every active row's
+            # true source is in range), so wrap needs no special
+            # handling.
             R = len(self.enable_reactions)
-            K = data.bucket_delta.shape[1]
+            by_delta = {}
+            for r, deltas in enumerate(self.bucket_static):
+                for k, d in enumerate(deltas):
+                    by_delta.setdefault(int(d), []).append((r, k))
+            contribs = [jnp.zeros_like(p) for _ in range(R)]
+            for d in sorted(by_delta):
+                pr = jnp.roll(p, -d) if d else p
+                for (r, k) in by_delta[d]:
+                    w = jnp.where(data.bucket_id[r] == k,
+                                  data.off_val[r], 0.0)
+                    contribs[r] = contribs[r] + w * pr
             inflow = jnp.zeros_like(p)
             for r in range(R):
-                contrib = jnp.zeros_like(p)
-                for k in range(K):
-                    d = data.bucket_delta[r, k]
-                    pr = jnp.roll(p, -d)
-                    w = jnp.where(data.offsets[r] == d,
-                                  data.off_val[r], 0.0)
-                    contrib = contrib + w * pr
-                inflow = inflow + c[r] * contrib
+                inflow = inflow + c[r] * contribs[r]
             upd = data.rem_val * p[data.rem_src] * c[data.rem_rid]
             inflow = inflow.at[data.rem_row].add(upd)
             dp = inflow - p * (c @ data.diag_val)

@@ -100,8 +100,13 @@ class StatePartitioner:
         weight computation costs ~R hash probes per state per rebalance
         (round-2 verdict weak #8)."""
         n = states.shape[0]
-        if n_parts <= 1 or n == 0:
+        if n == 0 or (n_parts <= 1
+                      and self.ptype == PartitioningType.BLOCK):
             return PartitionResult(np.arange(n), np.array([0, n]))
+        # n_parts == 1 still computes the LOCALITY ordering for GRAPH/
+        # HYPERGRAPH: on the compressed TPU backend the ordering is what
+        # concentrates the gather offsets into the bucket-shift fast
+        # path — it serves the operator, not just shard balance.
 
         hyper = self.ptype == PartitioningType.HYPERGRAPH
         if self.ptype == PartitioningType.BLOCK:
